@@ -67,7 +67,48 @@ def solve_box_qp(
     return z
 
 
-@partial(jax.jit, static_argnames=("iters", "rho_updates"))
+def _polish(P, q, A, l, u, x, y, z, sigma):
+    """OSQP-style solution polish: one exact KKT solve on the active set.
+
+    Active rows are detected from the dual y (y > 0: upper bound active,
+    y < 0: lower) plus all equality rows. Inactive rows are *zeroed out* of
+    the constraint block (not pushed away with a large diagonal), which keeps
+    the KKT matrix well-conditioned in float32; their multipliers solve to 0
+    exactly via a unit diagonal.
+    """
+    n = q.shape[-1]
+    m = l.shape[-1]
+    dtype = q.dtype
+    is_eq = jnp.abs(u - l) < 1e-9
+    tol = 1e-6
+    act_u = (y > tol) | is_eq
+    act_l = (y < -tol) & ~is_eq
+    act = act_u | act_l
+    b = jnp.where(act_u, u, l)
+    A_m = A * act[:, None].astype(dtype)
+    D = jnp.where(act, sigma, 1.0).astype(dtype)
+    K = jnp.block(
+        [
+            [P + sigma * jnp.eye(n, dtype=dtype), A_m.T],
+            [A_m, -jnp.diag(D)],
+        ]
+    )
+    rhs = jnp.concatenate([-q, jnp.where(act, b, 0.0)])
+    sol = jnp.linalg.solve(K, rhs)
+    # one refinement pass for f32
+    sol = sol + jnp.linalg.solve(K, rhs - K @ sol)
+    x_pol = sol[:n]
+    # fall back to the ADMM iterate if the polish went bad (singular K)
+    ok = jnp.all(jnp.isfinite(x_pol))
+    # polish must not violate constraints more than the ADMM point did
+    viol = lambda xx: jnp.max(
+        jnp.maximum(A @ xx - u, 0.0) + jnp.maximum(l - A @ xx, 0.0)
+    )
+    ok = ok & (viol(x_pol) <= viol(x) + 1e-4)
+    return jnp.where(ok, x_pol, x)
+
+
+@partial(jax.jit, static_argnames=("iters", "rho_updates", "polish"))
 def solve_qp(
     P: Array,
     q: Array,
@@ -80,6 +121,7 @@ def solve_qp(
     rho_eq_scale: float = 1e3,
     alpha: float = 1.6,
     rho_updates: int = 4,
+    polish: bool = True,
 ) -> Array:
     """General QP (OSQP splitting):  min 1/2 x'Px + q'x,  l <= Ax <= u.
 
@@ -100,6 +142,36 @@ def solve_qp(
     is_eq = jnp.abs(u - l) < 1e-9
     eye_n = jnp.eye(n, dtype=dtype)
     inner_iters = max(iters // max(rho_updates, 1), 1)
+
+    # ---- Ruiz equilibration (OSQP sec. 5.1) ----
+    # Iteratively scale variables (D) and constraint rows (E) toward unit
+    # inf-norms, plus a scalar cost scaling c. Without this, the mixed
+    # piecewise-jerk problems (P diag 3e2..2e4, rows spanning 1..ds^2) take
+    # thousands of ADMM iterations; with it, ~100.
+    P0, q0, A0, l0_, u0_ = P, q, A, l, u
+    D = jnp.ones(n, dtype)
+    E = jnp.ones(m, dtype)
+    c_scale = jnp.asarray(1.0, dtype)
+    for _ in range(10):
+        Ps = c_scale * (D[:, None] * P0 * D[None, :])
+        As = E[:, None] * A0 * D[None, :]
+        col_norm = jnp.maximum(
+            jnp.max(jnp.abs(Ps), axis=0), jnp.max(jnp.abs(As), axis=0)
+        )
+        D = D / jnp.sqrt(jnp.maximum(col_norm, 1e-8))
+        row_norm = jnp.max(jnp.abs(E[:, None] * A0 * D[None, :]), axis=1)
+        E = E / jnp.sqrt(jnp.maximum(row_norm, 1e-8))
+        Ps = c_scale * (D[:, None] * P0 * D[None, :])
+        cost_norm = jnp.maximum(
+            jnp.mean(jnp.max(jnp.abs(Ps), axis=0)),
+            jnp.max(jnp.abs(c_scale * D * q0)),
+        )
+        c_scale = c_scale / jnp.maximum(jnp.sqrt(jnp.maximum(cost_norm, 1e-8)), 1e-4)
+    P = c_scale * (D[:, None] * P0 * D[None, :])
+    q = c_scale * (D * q0)
+    A = E[:, None] * A0 * D[None, :]
+    l = E * l0_
+    u = E * u0_
 
     def factor(rho_scalar):
         rho_vec = jnp.where(is_eq, rho_scalar * rho_eq_scale, rho_scalar)
@@ -150,6 +222,11 @@ def solve_qp(
         ratio = (r_prim / prim_scale) / jnp.maximum(r_dual / dual_scale, 1e-12)
         rho_scalar = jnp.clip(rho_scalar * jnp.sqrt(ratio), 1e-4, 1e4)
 
+    x = D * x  # un-scale the primal iterate
+    if polish:
+        # polish in the *original* problem space; duals map back as E*y/c
+        y_orig = E * y / c_scale
+        x = _polish(P0, q0, A0, l0_, u0_, x, y_orig, z, sigma)
     return x
 
 

@@ -41,7 +41,7 @@ def hermite_coeffs(
     c3 = -10.0 * l0 - 6.0 * v0 - 1.5 * a0 + 10.0 * l1 - 4.0 * v1 + 0.5 * a1
     c4 = 15.0 * l0 + 8.0 * v0 + 1.5 * a0 - 15.0 * l1 + 7.0 * v1 - a1
     c5 = -6.0 * l0 - 3.0 * v0 - 0.5 * a0 + 6.0 * l1 - 3.0 * v1 + 0.5 * a1
-    return jnp.stack([c0, c1, c2, c3, c4, c5], axis=-1)
+    return jnp.stack(jnp.broadcast_arrays(c0, c1, c2, c3, c4, c5), axis=-1)
 
 
 def eval_poly(coeffs: Array, u: Array) -> Array:

@@ -1,0 +1,254 @@
+"""S-L path dynamic programming (the EM path decision step).
+
+Rebuild of ``DP_algorithm`` / ``enrich_DP_s_l`` / cost helpers
+(``/root/reference/planner/path_planning.py:276-609``).
+
+The reference's hot loop #1 (SURVEY.md §3.2) is a triple Python loop:
+6 columns x 12 rows x 12 predecessors, each edge re-solving a 6x6 quintic
+system and sampling 10 points. TPU-native shape:
+
+* Transition edges connect grid nodes with zero boundary derivatives, so
+  every edge's quintic is the *smoothstep* between its endpoint l values —
+  the (12, 12, 10) sample tensor and the scalar smoothness kernel are
+  compile-time constants.
+* Per-scenario work is one (cols, rows, rows, samples, K) distance tensor
+  for obstacle costs (a few hundred KB) computed in one shot, then a 6-step
+  min-plus recursion over (12, 12) matrices — microseconds per scenario,
+  fully batched by ``vmap``.
+* Tie-breaking matches the reference: first minimum wins
+  (``path_planning.py:344-346`` strict <; ``jnp.argmin`` picks the first).
+
+Quirk handling (SURVEY.md §7.4): Q2 (dddl ``s*2`` typo) fixed via the exact
+Hermite derivatives; Q3 (dead break) dropped; the per-obstacle
+"break after first colliding sample" of ``cal_obs_cost:601-605`` is kept as
+an ``any()`` — identical cost, branch-free.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emplanner_carla_tpu.config import PathPlanConfig
+from emplanner_carla_tpu.ops import quintic
+from emplanner_carla_tpu.types import Array
+
+
+def grid_l_values(cfg: PathPlanConfig) -> np.ndarray:
+    """Row index -> lateral offset: l_i = ((rows+1)/2 - 1 - i) * sample_l
+    (``path_planning.py:326``). Row 0 is the far left (l > 0)."""
+    i = np.arange(cfg.rows)
+    return (((cfg.rows + 1) / 2 - 1) - i) * cfg.sample_l
+
+
+def _smoothstep_samples(cfg: PathPlanConfig):
+    """Constant sample tensors for the zero-derivative transition edges.
+
+    Returns (S, dS, ddS, dddS) evaluated at the reference's sample points
+    u_k = k/10, k = 0..9 (``path_planning.py:492-493`` samples from the edge
+    start, excluding the end).
+    """
+    u = np.arange(cfg.n_edge_samples) / cfg.n_edge_samples
+    S = 10 * u**3 - 15 * u**4 + 6 * u**5
+    dS = 30 * u**2 - 60 * u**3 + 30 * u**4
+    ddS = 60 * u - 180 * u**2 + 120 * u**3
+    dddS = 60 - 360 * u + 360 * u**2
+    return u, S, dS, ddS, dddS
+
+
+def _transition_geometry(cfg: PathPlanConfig):
+    """Constant (rows, rows, samples) l/derivative tensors for k -> i edges
+    and the scalar smoothness cost kernel."""
+    l = grid_l_values(cfg)
+    u, S, dS, ddS, dddS = _smoothstep_samples(cfg)
+    h = cfg.sample_s
+    dl_vals = l[None, :, None] - l[:, None, None]  # (k, i, 1): end - start
+    l_s = l[:, None, None] + dl_vals * S[None, None, :]  # (k, i, m)
+    dl_s = dl_vals * dS[None, None, :] / h
+    ddl_s = dl_vals * ddS[None, None, :] / h**2
+    dddl_s = dl_vals * dddS[None, None, :] / h**3
+    smooth = (
+        cfg.w_dl * np.sum(dl_s**2, -1)
+        + cfg.w_ddl * np.sum(ddl_s**2, -1)
+        + cfg.w_dddl * np.sum(dddl_s**2, -1)
+    )  # (k, i)
+    ref_cost = cfg.w_ref * np.sum(l_s**2, -1)  # (k, i)
+    return l_s.astype(np.float32), (smooth + ref_cost).astype(np.float32), u
+
+
+def _obs_cost(
+    d2: Array, valid: Array, cfg: PathPlanConfig
+) -> Array:
+    """Masked per-edge obstacle cost, reducing over samples then obstacles.
+
+    d2: (..., samples, K) squared distances; valid: (K,) mask.
+    Per obstacle: w_collision if any sample is inside danger_dist, plus
+    sum of 5000/d^2 over samples in the (danger, safe) band
+    (``cal_obs_cost``, ``path_planning.py:588-609``).
+    """
+    danger2 = cfg.danger_dist**2
+    safe2 = cfg.safe_dist**2
+    collide = jnp.any(d2 <= danger2, axis=-2)  # (..., K)
+    band = (d2 > danger2) & (d2 < safe2)
+    band_cost = jnp.sum(
+        jnp.where(band, cfg.danger_cost_num / jnp.maximum(d2, 1e-6), 0.0), axis=-2
+    )
+    per_obs = jnp.where(collide, cfg.w_collision, 0.0) + band_cost
+    return jnp.sum(jnp.where(valid, per_obs, 0.0), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def path_dp(
+    obs_s: Array,
+    obs_l: Array,
+    obs_valid: Array,
+    plan_start_s: Array,
+    plan_start_l: Array,
+    plan_start_dl: Array,
+    plan_start_ddl: Array,
+    cfg: PathPlanConfig,
+):
+    """S-L DP over the (rows x cols) lattice.
+
+    Returns (dp_s, dp_l, feasible):
+      dp_s, dp_l: (cols,) node coordinates of the chosen column rows
+      feasible:   False when even the best path collides
+                  (``path_planning.py:351-353`` prints and continues; we
+                  carry the flag instead).
+
+    With no valid obstacle the result is the straight line l = 0
+    (``path_planning.py:362-363``).
+    """
+    rows, cols, m = cfg.rows, cfg.cols, cfg.n_edge_samples
+    h = cfg.sample_s
+    l_grid = jnp.asarray(grid_l_values(cfg), jnp.float32)
+    trans_l, trans_base, u_np = _transition_geometry(cfg)
+    trans_l = jnp.asarray(trans_l)        # (rows, rows, m)
+    trans_base = jnp.asarray(trans_base)  # (rows, rows)
+    u = jnp.asarray(u_np, jnp.float32)    # (m,)
+
+    # ---- start edges: general quintic from the plan-start state ----
+    coeff = quintic.hermite_coeffs(
+        plan_start_l, plan_start_dl, plan_start_ddl,
+        l_grid, jnp.zeros(rows), jnp.zeros(rows), h,
+    )  # (rows, 6)
+    l0, dl0, ddl0, dddl0 = quintic.eval_with_derivs(
+        coeff[:, None, :], u[None, :], h
+    )  # each (rows, m)
+    start_smooth = (
+        cfg.w_dl * jnp.sum(dl0**2, -1)
+        + cfg.w_ddl * jnp.sum(ddl0**2, -1)
+        + cfg.w_dddl * jnp.sum(dddl0**2, -1)
+        + cfg.w_ref * jnp.sum(l0**2, -1)
+    )  # (rows,)
+
+    # sample s offsets: edge j spans [plan_start_s + j*h, +h), samples at k*h/m
+    s_samples = plan_start_s + (
+        jnp.arange(cols, dtype=jnp.float32)[:, None] * h
+        + u[None, :] * h
+    )  # (cols, m)
+
+    # ---- obstacle costs ----
+    # start edge (column 0): (rows, m, K)
+    d2_start = (obs_s[None, None, :] - s_samples[0][None, :, None]) ** 2 + (
+        obs_l[None, None, :] - l0[:, :, None]
+    ) ** 2
+    start_obs = _obs_cost(d2_start, obs_valid, cfg)  # (rows,)
+
+    # transition edges (columns 1..cols-1): (cols-1, rows, rows, m, K)
+    d2_trans = (
+        obs_s[None, None, None, None, :]
+        - s_samples[1:, None, None, :, None]
+    ) ** 2 + (
+        obs_l[None, None, None, None, :] - trans_l[None, :, :, :, None]
+    ) ** 2
+    trans_obs = _obs_cost(d2_trans, obs_valid, cfg)  # (cols-1, rows, rows)
+
+    keep_right = jnp.where(
+        jnp.arange(rows) < (rows // 2), cfg.keep_right_penalty, 0.0
+    )
+
+    cost0 = start_smooth + start_obs + keep_right  # (rows,)
+    edge_costs = trans_base[None] + trans_obs + keep_right[None, None, :]
+
+    # ---- min-plus recursion over columns ----
+    def step(carry, edge):
+        cost_prev = carry
+        total = cost_prev[:, None] + edge  # (k, i)
+        best = jnp.min(total, axis=0)
+        arg = jnp.argmin(total, axis=0).astype(jnp.int32)
+        return best, (best, arg)
+
+    cost_last, (_, args) = jax.lax.scan(step, cost0, edge_costs)
+
+    # ---- backtrack ----
+    end_row = jnp.argmin(cost_last).astype(jnp.int32)
+    feasible = cost_last[end_row] <= cfg.w_collision
+
+    def back(carry, arg_col):
+        row = carry          # row chosen at column j+1
+        prev = arg_col[row]  # row chosen at column j
+        return prev, row
+
+    row0, rows_tail = jax.lax.scan(back, end_row, args, reverse=True)
+    # rows_tail[j] is the row of column j+1; row0 is column 0's row.
+    col_rows = jnp.concatenate([row0[None], rows_tail])
+
+    dp_l = l_grid[col_rows]
+    any_obs = jnp.any(obs_valid)
+    dp_l = jnp.where(any_obs, dp_l, 0.0)  # no-obstacle straight line
+    dp_s = plan_start_s + (jnp.arange(cols, dtype=jnp.float32) + 1.0) * h
+    return dp_s, dp_l, feasible | ~any_obs
+
+
+def enriched_length(cfg: PathPlanConfig) -> int:
+    """Number of densified samples: cols segments x ceil(sample_s/res) + 1
+    (matches ``enrich_DP_s_l``'s arange(0, int(span), res) per segment plus
+    the appended endpoint, ``path_planning.py:403-431``)."""
+    per_seg = int(np.ceil(cfg.sample_s / cfg.sampling_res))
+    return cfg.cols * per_seg + 1
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def enrich_dp(
+    dp_s: Array,
+    dp_l: Array,
+    plan_start_s: Array,
+    plan_start_l: Array,
+    plan_start_dl: Array,
+    plan_start_ddl: Array,
+    cfg: PathPlanConfig,
+):
+    """Densify the DP polyline on its quintic segments
+    (= ``enrich_DP_s_l``, ``path_planning.py:378-432``).
+
+    Segment 0 runs from the plan start (with its true derivatives) to the
+    first DP node; segments 1..cols-1 connect DP nodes with zero-derivative
+    knots (``path_planning.py:399,414-420``). Returns (s, l) of static
+    length ``enriched_length(cfg)``.
+    """
+    per_seg = int(np.ceil(cfg.sample_s / cfg.sampling_res))
+    h = cfg.sample_s
+    u = (
+        jnp.arange(per_seg, dtype=jnp.float32) * cfg.sampling_res / h
+    )  # in [0, 1)
+
+    seg_start_l = jnp.concatenate([plan_start_l[None], dp_l[:-1]])
+    seg_end_l = dp_l
+    seg_start_s = jnp.concatenate([plan_start_s[None], dp_s[:-1]])
+
+    zeros = jnp.zeros(cfg.cols)
+    start_dl = jnp.concatenate([plan_start_dl[None], zeros[: cfg.cols - 1]])
+    start_ddl = jnp.concatenate([plan_start_ddl[None], zeros[: cfg.cols - 1]])
+    coeff = quintic.hermite_coeffs(
+        seg_start_l, start_dl, start_ddl, seg_end_l, zeros, zeros, h
+    )  # (cols, 6)
+    l_seg = quintic.eval_poly(coeff[:, None, :], u[None, :])  # (cols, per_seg)
+    s_seg = seg_start_s[:, None] + u[None, :] * h
+
+    s = jnp.concatenate([s_seg.reshape(-1), dp_s[-1][None]])
+    l = jnp.concatenate([l_seg.reshape(-1), dp_l[-1][None]])
+    return s, l

@@ -1,0 +1,215 @@
+"""Convex corridor + piecewise-jerk path QP (the EM path optimization step).
+
+Rebuild of ``cal_lmin_lmax`` + ``Quadratic_planning``
+(``/root/reference/planner/path_planning.py:78-273``).
+
+Constraint/cost structure follows the reference exactly; the constant
+matrices (continuity coupling, corner inequality pattern, Hessian blocks)
+are built once at trace time with NumPy and baked into the compiled program,
+so the per-scenario work is a single batched ADMM solve.
+
+Documented reference quirks fixed here (beyond SURVEY.md §7.4's ledger):
+
+* Q13 (new): the reference passes ``dp_sampling_res=2`` into the QP although
+  the stations it feeds have been downsampled ``::2`` to 4 m spacing
+  (``test_9.py:187-198``), so its continuity constraints integrate over the
+  wrong ds. We use the true station spacing.
+* Q14 (new): ``path_planning.py:193`` forms ``w_cost_dl * (H_DL.T @ H_L)``
+  which is the zero matrix (the two selectors hit different diagonal slots),
+  silently disabling the dl cost. We use the intended ``H_DL.T @ H_DL``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emplanner_carla_tpu.config import PathPlanConfig
+from emplanner_carla_tpu.ops import qp
+from emplanner_carla_tpu.types import Array
+
+BIG = 1e8  # stand-in for the reference's +-1e5 free bounds (path_planning.py:145)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def corridor(
+    dp_s: Array,
+    dp_l: Array,
+    obs_s: Array,
+    obs_l: Array,
+    obs_valid: Array,
+    cfg: PathPlanConfig,
+    n: int | None = None,
+):
+    """l bounds per DP station (= ``cal_lmin_lmax``, ``path_planning.py:222``).
+
+    For each obstacle, the stations covering [obs_s - L/2, obs_s + L/2]
+    (nearest-station indices, shifted by the reference's +2 fudge offset,
+    ``path_planning.py:240-241``) are clamped on the side opposite the DP
+    decision: dp_l < obs_l => pass on the smaller-l side => cap lmax at
+    obs_l - W/2; otherwise raise lmin to obs_l + W/2.
+    """
+    if n is None:
+        n = dp_s.shape[-1]
+    off = cfg.corridor_index_offset
+    idx_min = (
+        jnp.argmin(
+            jnp.abs(dp_s[None, :] - (obs_s - cfg.obs_length / 2)[:, None]), axis=-1
+        )
+        + off
+    )  # (K,)
+    idx_max = (
+        jnp.argmin(
+            jnp.abs(dp_s[None, :] - (obs_s + cfg.obs_length / 2)[:, None]), axis=-1
+        )
+        + off
+    )
+    idx_ctr = jnp.argmin(jnp.abs(dp_s[None, :] - obs_s[:, None]), axis=-1)
+    path_l_at_obs = dp_l[idx_ctr]  # (K,)
+    pass_low = path_l_at_obs < obs_l  # ego passes on the smaller-l side
+
+    station = jnp.arange(n)
+    in_range = (
+        (station[None, :] >= idx_min[:, None])
+        & (station[None, :] <= idx_max[:, None])
+        & obs_valid[:, None]
+    )  # (K, n)
+
+    ub_cand = jnp.where(
+        in_range & pass_low[:, None], obs_l[:, None] - cfg.obs_width / 2, BIG
+    )
+    lb_cand = jnp.where(
+        in_range & ~pass_low[:, None], obs_l[:, None] + cfg.obs_width / 2, -BIG
+    )
+    l_max = jnp.minimum(cfg.corridor_halfwidth, jnp.min(ub_cand, axis=0))
+    l_min = jnp.maximum(-cfg.corridor_halfwidth, jnp.max(lb_cand, axis=0))
+    return l_min, l_max
+
+
+def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
+    """Constant P and A for the piecewise-jerk QP over x = [l, dl, ddl] x n."""
+    nv = 3 * n
+
+    # Hessian (path_planning.py:169-197, with Q14 fixed)
+    P = np.zeros((nv, nv))
+    for i in range(n):
+        P[3 * i, 3 * i] += cfg.w_qp_l + cfg.w_qp_centre
+        P[3 * i + 1, 3 * i + 1] += cfg.w_qp_dl
+        P[3 * i + 2, 3 * i + 2] += cfg.w_qp_ddl
+    # jerk: (ddl_{i+1} - ddl_i)^2 (reference does not divide by ds;
+    # w_qp_dddl absorbs the scale — kept identical, path_planning.py:181-184)
+    for i in range(n - 1):
+        a, b = 3 * i + 2, 3 * i + 5
+        P[a, a] += cfg.w_qp_dddl
+        P[b, b] += cfg.w_qp_dddl
+        P[a, b] -= cfg.w_qp_dddl
+        P[b, a] -= cfg.w_qp_dddl
+    P[3 * n - 3, 3 * n - 3] += cfg.w_qp_end_l
+    P[3 * n - 2, 3 * n - 2] += cfg.w_qp_end_dl
+    P[3 * n - 1, 3 * n - 1] += cfg.w_qp_end_ddl
+    P = 2.0 * P  # reference's H = 2H to match 0.5 x'Hx form
+
+    # piecewise-jerk continuity equalities (path_planning.py:106-112)
+    Aeq = np.zeros((2 * (n - 1), nv))
+    for i in range(n - 1):
+        Aeq[2 * i, 3 * i : 3 * i + 6] = [1, ds, ds**2 / 3, -1, 0, ds**2 / 6]
+        Aeq[2 * i + 1, 3 * i : 3 * i + 6] = [0, 1, ds / 2, 0, -1, ds / 2]
+
+    # corner inequalities, 8 per station (path_planning.py:115-142)
+    d1, d2 = cfg.host_d1, cfg.host_d2
+    A_in = np.zeros((8 * n, nv))
+    A_sub = np.array(
+        [
+            [1, d1, 0],
+            [1, d1, 0],
+            [1, -d2, 0],
+            [1, -d2, 0],
+            [-1, -d1, 0],
+            [-1, -d1, 0],
+            [-1, d2, 0],
+            [-1, d2, 0],
+        ]
+    )
+    for i in range(n):
+        A_in[8 * i : 8 * i + 8, 3 * i : 3 * i + 3] = A_sub
+
+    # endpoint pinning rows (start state + zero end state,
+    # path_planning.py:144-160) as equality rows on the first/last blocks
+    A_pin = np.zeros((6, nv))
+    for k in range(3):
+        A_pin[k, k] = 1.0
+        A_pin[3 + k, nv - 3 + k] = 1.0
+
+    A = np.concatenate([Aeq, A_in, A_pin])
+    front_index = int(np.ceil(d1 / ds))
+    back_index = int(np.ceil(d2 / ds))
+    return (
+        P.astype(np.float32),
+        A.astype(np.float32),
+        front_index,
+        back_index,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "n", "ds"))
+def path_qp(
+    l_min: Array,
+    l_max: Array,
+    plan_start_l: Array,
+    plan_start_dl: Array,
+    plan_start_ddl: Array,
+    cfg: PathPlanConfig,
+    ds: float,
+    n: int | None = None,
+):
+    """Smooth l(s) inside the corridor (= ``Quadratic_planning``,
+    ``path_planning.py:78-219``).
+
+    ds is the true station spacing (quirk Q13 fixed). Returns
+    (l, dl, ddl) each (n,).
+    """
+    if n is None:
+        n = l_min.shape[-1]
+    P_np, A_np, front_index, back_index = _qp_constants(n, ds, cfg)
+    P = jnp.asarray(P_np)
+    A = jnp.asarray(A_np)
+    nv = 3 * n
+
+    # linear cost: centre-line attraction (path_planning.py:198-205)
+    centre = 0.5 * (l_min + l_max)
+    q = jnp.zeros(nv).at[0::3].set(-2.0 * cfg.w_qp_centre * centre)
+
+    # corner bounds: the front/rear lookahead station indices
+    # (path_planning.py:127-142)
+    i = jnp.arange(n)
+    i_front = jnp.minimum(i + front_index, n - 1)
+    i_back = jnp.maximum(i - back_index, 0)
+    hw = cfg.host_w / 2
+    b_sub = jnp.stack(
+        [
+            l_max[i_front] - hw,
+            l_max[i_front] + hw,
+            l_max[i_front] - hw,
+            l_max[i_front] + hw,
+            -l_min[i_back] + hw,
+            -l_min[i_back] - hw,
+            -l_min[i_back] + hw,
+            -l_min[i_back] - hw,
+        ],
+        axis=-1,
+    ).reshape(-1)  # (8n,)
+
+    start = jnp.stack([plan_start_l, plan_start_dl, plan_start_ddl])
+    end = jnp.zeros(3)
+    u = jnp.concatenate(
+        [jnp.zeros(2 * (n - 1)), b_sub, start, end]
+    )
+    l = jnp.concatenate(
+        [jnp.zeros(2 * (n - 1)), jnp.full(8 * n, -BIG), start, end]
+    )
+
+    x = qp.solve_qp(P, q, A, l, u, iters=cfg.admm_iters, sigma=cfg.admm_sigma)
+    return x[0::3], x[1::3], x[2::3]

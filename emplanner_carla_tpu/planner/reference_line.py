@@ -1,0 +1,130 @@
+"""Local reference line: windowed sampling + QP smoothing.
+
+Rebuild of ``sampling`` + ``smooth_reference_line``
+(``/root/reference/planner/planning_utils.py:231-361``).
+
+TPU-native design: the reference solves one interleaved QP over
+(x0, y0, x1, y1, ...) with cvxopt. The smoothing operator is separable — the
+second/first-difference stencils A1/A2 act on x and y independently — so we
+solve two *independent* box QPs with the same constant (n, n) Hessian. For a
+fixed window length and weights that Hessian (and its ADMM factor) is a
+compile-time constant, turning each smoothing pass into a handful of (n, n)
+matmuls on the MXU, batched over scenarios by ``vmap``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emplanner_carla_tpu.config import RefLineConfig
+from emplanner_carla_tpu.ops import frenet
+from emplanner_carla_tpu.types import Array, Path
+
+
+def _smoother_matrices(n: int, cfg: RefLineConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Constant per-coordinate Hessian H and its ADMM inverse (H + rho I)^-1.
+
+    H = 2 (w_s D2'D2 + w_len D1'D1 + w_ref I), the per-coordinate equivalent
+    of the interleaved A1/A2/A3 construction at ``planning_utils.py:313-344``.
+    """
+    D2 = np.zeros((n - 2, n))
+    for i in range(n - 2):
+        D2[i, i : i + 3] = (1.0, -2.0, 1.0)
+    D1 = np.zeros((n - 1, n))
+    for i in range(n - 1):
+        D1[i, i : i + 2] = (1.0, -1.0)
+    H = 2.0 * (
+        cfg.w_smooth * D2.T @ D2 + cfg.w_length * D1.T @ D1 + cfg.w_ref * np.eye(n)
+    )
+    Minv = np.linalg.inv(H + cfg.admm_rho * np.eye(n))
+    return H.astype(np.float32), Minv.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def smooth_xy(x_ref: Array, y_ref: Array, cfg: RefLineConfig, n: int | None = None):
+    """Box-constrained smoothing of a raw polyline.
+
+    min  w_s ||D2 p||^2 + w_len ||D1 p||^2 + w_ref ||p - p_ref||^2
+    s.t. |p - p_ref| <= xy_bound,   independently for p = x and p = y.
+
+    Returns smoothed (x, y). Coordinates are centred before the solve so the
+    f32 quadratic forms stay well-scaled far from the world origin.
+    """
+    if n is None:
+        n = x_ref.shape[-1]
+    H_np, Minv_np = _smoother_matrices(n, cfg)
+    H = jnp.asarray(H_np)
+    Minv = jnp.asarray(Minv_np)
+    rho = cfg.admm_rho
+
+    def solve_one(ref):
+        c = jnp.mean(ref)
+        r = ref - c
+        f = -2.0 * cfg.w_ref * r
+        lb = r - cfg.xy_bound
+        ub = r + cfg.xy_bound
+
+        def body(_, state):
+            x, z, u = state
+            x = Minv @ (rho * (z - u) - f)
+            z = jnp.clip(x + u, lb, ub)
+            u = u + x - z
+            return x, z, u
+
+        z0 = r
+        _, z, _ = jax.lax.fori_loop(
+            0, cfg.admm_iters, body, (z0, z0, jnp.zeros_like(r))
+        )
+        return z + c
+
+    return solve_one(x_ref), solve_one(y_ref)
+
+
+def smooth_local_path(x_ref: Array, y_ref: Array, cfg: RefLineConfig) -> Path:
+    """Smooth a raw local polyline and recompute heading/curvature
+    (= ``smooth_reference_line``, ``planning_utils.py:262-361``)."""
+    x, y = smooth_xy(x_ref, y_ref, cfg)
+    return frenet.path_from_xy(x, y)
+
+
+def extract_local_window(
+    global_path: Path, match_idx: Array, cfg: RefLineConfig
+) -> Path:
+    """Fixed-length local window of the global path around the ego match point
+    (= ``sampling``, ``planning_utils.py:231-259``; quirk Q9 — the reference
+    hardcodes back/forward to 10/40 regardless of its arguments — becomes the
+    explicit config defaults here)."""
+    start = frenet.sample_window_indices(
+        match_idx, global_path.n, cfg.back_length, cfg.forward_length
+    )
+    return frenet.slice_path(global_path, start, cfg.n_points)
+
+
+def build_reference_line(
+    global_path: Path,
+    ego_x: Array,
+    ego_y: Array,
+    prev_match_idx: Array,
+    cfg: RefLineConfig,
+    window: int = 64,
+    first_run: bool = False,
+):
+    """One reference-line refresh: match -> window -> smooth -> s_map.
+
+    Mirrors the per-cycle sequence of the reference's planner process
+    (``test_9.py:99-113``). Returns (local Path, s_map, new match index).
+    """
+    if first_run:
+        match_idx = frenet.nearest_index(ego_x, ego_y, global_path)
+    else:
+        match_idx = frenet.nearest_index_windowed(
+            ego_x, ego_y, global_path, prev_match_idx, window
+        )
+    local = extract_local_window(global_path, match_idx, cfg)
+    local_opt = smooth_local_path(local.x, local.y, cfg)
+    s_map = frenet.s_map_from_origin(local_opt, ego_x, ego_y)
+    return local_opt, s_map, match_idx
