@@ -190,6 +190,11 @@ class VehicleParams:
     max_steer_rad: float = 0.6109  # 35 deg: full steer command = 1.0
     max_accel: float = 4.0         # throttle=1 -> +4 m/s^2
     max_brake_decel: float = 8.0   # brake=1 -> -8 m/s^2
+    # steering actuator (CARLA's UE4 vehicle applies steering with lag; an
+    # ideal zero-lag actuator makes the reference's 100 Hz LQR/MPC loop
+    # oscillate at the Nyquist rate — observed empirically on the arc test)
+    steer_tau: float = 0.05        # first-order lag time constant (s)
+    steer_rate: float = 4.0        # max |d steer/dt| in normalized units/s
 
 
 @dataclass(frozen=True)

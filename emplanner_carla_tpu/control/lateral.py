@@ -1,0 +1,238 @@
+"""Lateral control: error-state model, LQR (+feedforward), condensed MPC.
+
+Rebuild of ``/root/reference/controller/controller.py`` (Lateral_LQR_controller
+:374-611, Lateral_MPC_controller :65-336) as pure functions.
+
+Shared machinery:
+* error-state dynamic bicycle A(Vx), B — ``controller.py:115-149`` with the
+  intended parameter order (quirk Q7 fixed via VehicleParams);
+* bilinear (Tustin) discretization at ts = 0.1 — ``controller.py:151-168``;
+* predicted-pose matching and the e = (e_d, e_d', e_phi, e_phi') error vector
+  — ``controller.py:170-249``, with the reference's windowed/full argmin
+  searches replaced by a branch-free masked argmin.
+
+LQR: fixed-trip-count Riccati iteration (the reference iterates <= 5000 with
+tol 0.1, ``controller.py:468-482``; at these magnitudes it converges in a few
+dozen steps, so a fixed 80 is both faster and XLA-friendly) + curvature
+feedforward. Quirk Q15 (new, beyond SURVEY §7.4's ledger): the reference
+multiplies the feedforward angle by pi/180 (``controller.py:583``) although it
+is already in radians, shrinking it 57x; we keep radians.
+
+MPC: the condensed N=6/P=2 formulation (``controller.py:253-311``) solved by
+the fixed-iteration box-QP ADMM instead of cvxopt.
+
+Steering command convention: the model's u is a front-wheel angle in radians;
+the plant takes a normalized steer in [-1, 1]; we divide by the max wheel
+angle (the reference feeds radians straight into carla's normalized steer —
+a units mismatch absorbed by its hand-tuned gains).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from emplanner_carla_tpu.config import ControlConfig, VehicleParams
+from emplanner_carla_tpu.ops import qp
+from emplanner_carla_tpu.types import Array, EgoState, Path
+
+
+def error_state_model(vx: Array, vp: VehicleParams):
+    """Continuous A (4, 4), B (4, 1), C (4, 1) of the error dynamics
+    (``controller.py:115-149``)."""
+    a, b, cf, cr, m, iz = vp.a, vp.b, vp.cf, vp.cr, vp.mass, vp.iz
+    A = jnp.zeros((4, 4))
+    A = A.at[0, 1].set(1.0)
+    A = A.at[1, 1].set((cf + cr) / (m * vx))
+    A = A.at[1, 2].set(-(cf + cr) / m)
+    A = A.at[1, 3].set((a * cf - b * cr) / (m * vx))
+    A = A.at[2, 3].set(1.0)
+    A = A.at[3, 1].set((a * cf - b * cr) / (iz * vx))
+    A = A.at[3, 2].set(-(a * cf - b * cr) / iz)
+    A = A.at[3, 3].set((a * a * cf + b * b * cr) / (iz * vx))
+    B = jnp.zeros((4, 1)).at[1, 0].set(-cf / m).at[3, 0].set(-a * cf / iz)
+    C = (
+        jnp.zeros((4, 1))
+        .at[1, 0].set((a * cf + b * cr) / (m * vx) - vx)
+        .at[3, 0].set((a * a * cf + b * b * cr) / (iz * vx))
+    )
+    return A, B, C
+
+
+def discretize(A: Array, B: Array, ts: float):
+    """Bilinear (Tustin) discretization (``controller.py:160-164``)."""
+    with jax.default_matmul_precision("highest"):
+        eye = jnp.eye(4)
+        T = jnp.linalg.inv(eye - 0.5 * ts * A)
+        return T @ (eye + 0.5 * ts * A), T @ B * ts, T
+
+
+def safe_vx(s: EgoState, cfg: ControlConfig) -> Array:
+    """Vx clamped away from the model singularity (``controller.py:103-109``)."""
+    return jnp.where(
+        s.vx < 0, jnp.minimum(s.vx, -cfg.min_vx), jnp.maximum(s.vx, cfg.min_vx)
+    )
+
+
+def tracking_error(
+    s: EgoState,
+    target: Path,
+    min_index: Array,
+    cfg: ControlConfig,
+    full_search: bool = True,
+):
+    """Predicted-pose tracking error e = (e_d, e_d', e_phi, e_phi'), the
+    projection curvature k_r, and the new match index
+    (``controller.py:488-567``)."""
+    vx = safe_vx(s, cfg)
+    ts = cfg.ts_predict
+    # kinematic prediction over one control latency (controller.py:505-508)
+    x = s.x + (vx * jnp.cos(s.phi) - s.vy * jnp.sin(s.phi)) * ts
+    y = s.y + (s.vy * jnp.cos(s.phi) + vx * jnp.sin(s.phi)) * ts
+    phi = s.phi + s.omega * ts
+
+    d2 = (target.x - x) ** 2 + (target.y - y) ** 2
+    if not full_search:
+        n = target.n
+        idx_range = jnp.arange(n)
+        lo = jnp.clip(min_index, 0, max(n - cfg.match_window, 0))
+        mask = (idx_range >= lo) & (idx_range < lo + cfg.match_window)
+        d2 = jnp.where(mask, d2, jnp.inf)
+    idx = jnp.argmin(d2).astype(jnp.int32)
+
+    tx, ty = jnp.cos(target.theta[idx]), jnp.sin(target.theta[idx])
+    nx, ny = -ty, tx
+    dx, dy = x - target.x[idx], y - target.y[idx]
+    e_d = nx * dx + ny * dy
+    e_s = tx * dx + ty * dy
+    kappa = target.kappa[idx]
+    theta_r = target.theta[idx] + kappa * e_s
+    e_d_dot = s.vy * jnp.cos(phi - theta_r) + vx * jnp.sin(phi - theta_r)
+    e_phi = jnp.sin(phi - theta_r)  # sin() vs the wrap (controller.py:555)
+    s_dot = (vx * jnp.cos(phi - theta_r) - s.vy * jnp.sin(phi - theta_r)) / (
+        1.0 - kappa * e_d
+    )
+    e_phi_dot = s.omega - kappa * s_dot
+    e = jnp.stack([e_d, e_d_dot, e_phi, e_phi_dot])
+    return e, kappa, idx
+
+
+def riccati_gain(A_d: Array, B_d: Array, Q: Array, R: Array, iters: int) -> Array:
+    """K from the discrete Riccati iteration, fixed trip count
+    (``controller.py:457-486``)."""
+    with jax.default_matmul_precision("highest"):
+        def body(_, P):
+            BtPB = B_d.T @ P @ B_d + R
+            return A_d.T @ P @ A_d - (A_d.T @ P @ B_d) @ jnp.linalg.inv(
+                BtPB
+            ) @ (B_d.T @ P @ A_d) + Q
+
+        P = jax.lax.fori_loop(0, iters, body, Q)
+        return jnp.linalg.inv(B_d.T @ P @ B_d + R) @ (B_d.T @ P @ A_d)  # (1, 4)
+
+
+def lqr_feedforward(K: Array, kappa: Array, vx: Array, vp: VehicleParams) -> Array:
+    """delta_f = kappa (a + b - b K3 - (b/Cf + a K3/Cr - a/Cr) m Vx^2/(a+b))
+    (``controller.py:569-583``; Q15: no spurious pi/180)."""
+    a, b, cf, cr, m = vp.a, vp.b, vp.cf, vp.cr, vp.mass
+    k3 = K[0, 2]
+    return kappa * (
+        a + b - b * k3 - (b / cf + a * k3 / cr - a / cr) * (m * vx * vx) / (a + b)
+    )
+
+
+def lqr_steer(
+    s: EgoState,
+    target: Path,
+    min_index: Array,
+    vp: VehicleParams,
+    cfg: ControlConfig,
+):
+    """One LQR lateral control step -> (normalized steer, new match index)."""
+    vx = safe_vx(s, cfg)
+    A, B, _ = error_state_model(vx, vp)
+    A_d, B_d, _ = discretize(A, B, cfg.ts_discretize)
+    Q = jnp.diag(jnp.asarray(cfg.lqr_q))
+    R = jnp.asarray([[cfg.lqr_r]])
+    K = riccati_gain(A_d, B_d, Q, R, cfg.riccati_iters)
+    e, kappa, idx = tracking_error(s, target, min_index, cfg)
+    delta = -(K @ e)[0] + lqr_feedforward(K, kappa, vx, vp)
+    steer = jnp.clip(delta / vp.max_steer_rad, -cfg.steer_limit, cfg.steer_limit)
+    return steer, idx
+
+
+def mpc_steer(
+    s: EgoState,
+    target: Path,
+    min_index: Array,
+    vp: VehicleParams,
+    cfg: ControlConfig,
+):
+    """One condensed-MPC lateral control step (``controller.py:253-336``).
+
+    Builds the batch prediction matrices M, C, Cc over horizon N with control
+    width P, solves the box-constrained QP |u| <= 1 with the ADMM box solver,
+    applies the first control.
+    """
+    N, P_w, nx = cfg.mpc_n, cfg.mpc_p, 4
+    with jax.default_matmul_precision("highest"):
+        return _mpc_steer_impl(s, target, min_index, vp, cfg, N, P_w, nx)
+
+
+def _mpc_steer_impl(s, target, min_index, vp, cfg, N, P_w, nx):
+    vx = safe_vx(s, cfg)
+    A, B, C = error_state_model(vx, vp)
+    e, kappa, idx = tracking_error(s, target, min_index, cfg)
+    A_d, B_d, T = discretize(A, B, cfg.ts_discretize)
+    C_d = T @ C * cfg.ts_discretize * kappa * vx  # controller.py:165
+
+    # M: free response stack [(I, A, A^2, ... A^N)] (controller.py:262-265)
+    def m_step(Mi, _):
+        Mn = A_d @ Mi
+        return Mn, Mn
+
+    _, M_rows = jax.lax.scan(m_step, jnp.eye(nx), None, length=N)
+    M = jnp.concatenate([jnp.eye(nx)[None], M_rows]).reshape((N + 1) * nx, nx)
+
+    # Cc: accumulated affine term (controller.py:275-277)
+    def cc_step(ci, _):
+        cn = A_d @ ci + C_d
+        return cn, cn
+
+    _, Cc_rows = jax.lax.scan(cc_step, jnp.zeros((nx, 1)), None, length=N)
+    Cc = jnp.concatenate([jnp.zeros((1, nx, 1)), Cc_rows]).reshape((N + 1) * nx, 1)
+
+    # C blocks: block-lower-triangular with A^k B broadcast across the P-wide
+    # control blocks (controller.py:267-273 tiles B_bar into 4xP blocks)
+    Bp = jnp.tile(B_d, (1, P_w))  # (4, P)
+    pow_rows = jnp.concatenate([Bp[None], jax.lax.scan(
+        lambda Bi, _: (A_d @ Bi, A_d @ Bi), Bp, None, length=N - 1
+    )[1]])  # (N, 4, P): A^k B tiled
+    # Cmat[(i) block row, j block col] = A^(i-1-j) B for j < i
+    Cmat = jnp.zeros(((N + 1) * nx, N * P_w))
+    for i in range(1, N + 1):
+        for j in range(i):
+            Cmat = jax.lax.dynamic_update_slice(
+                Cmat, pow_rows[i - 1 - j], (i * nx, j * P_w)
+            )
+
+    Q = jnp.diag(jnp.asarray(cfg.mpc_q))
+    F = jnp.diag(jnp.asarray(cfg.mpc_f))
+    Qbar = jax.scipy.linalg.block_diag(*([Q] * N + [F]))
+    Rbar = jnp.eye(N * P_w) * cfg.mpc_r
+
+    H = Cmat.T @ Qbar @ Cmat + Rbar
+    E = Cmat.T @ Qbar @ Cc + Cmat.T @ Qbar @ M @ e.reshape(nx, 1)
+    u = qp.solve_box_qp(
+        2.0 * H,
+        (2.0 * E)[:, 0],
+        -jnp.ones(N * P_w),
+        jnp.ones(N * P_w),
+        iters=cfg.mpc_admm_iters,
+    )
+    delta = u[0]
+    # The reference's MPC u is applied directly as the normalized carla steer
+    # (controller.py:311,705-710); the QP box |u|<=1 already matches the
+    # normalized actuator range, so no rescale here.
+    steer = jnp.clip(delta, -cfg.steer_limit, cfg.steer_limit)
+    return steer, idx

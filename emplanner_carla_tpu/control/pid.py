@@ -1,0 +1,70 @@
+"""Longitudinal PID with integral separation, as carried scan state.
+
+Rebuild of ``Longitudinal_PID_controller``
+(``/root/reference/controller/controller.py:614-677``): error in km/h, a
+60-deep error buffer for the integral/derivative terms, and integral
+separation — |error| above 1 km/h zeroes the integral and clears the buffer.
+
+The deque becomes a fixed ring buffer carried through ``lax.scan``; clearing
+is a masked reset.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from emplanner_carla_tpu.config import ControlConfig
+from emplanner_carla_tpu.types import Array
+
+
+class PIDState(NamedTuple):
+    buffer: Array   # (pid_buffer,) ring of recent errors (km/h)
+    head: Array     # int32 next write slot
+    count: Array    # int32 number of valid entries
+    last_error: Array
+
+    @classmethod
+    def init(cls, cfg: ControlConfig, dtype=jnp.float32):
+        return cls(
+            jnp.zeros(cfg.pid_buffer, dtype),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), dtype),
+        )
+
+
+def pid_step(
+    state: PIDState, speed_mps: Array, target_kmh: Array, cfg: ControlConfig
+):
+    """One PID tick -> (command, new state). Command > 0 ~ throttle,
+    < 0 ~ brake (``Vehicle_control.run_step`` splits it,
+    ``controller.py:713-718``)."""
+    error = target_kmh - 3.6 * speed_mps
+    buffer = state.buffer.at[state.head].set(error)
+    head = (state.head + 1) % cfg.pid_buffer
+    count = jnp.minimum(state.count + 1, cfg.pid_buffer)
+
+    have_two = count >= 2
+    integral = jnp.where(have_two, jnp.sum(buffer) * cfg.pid_dt, 0.0)
+    deriv = jnp.where(have_two, (error - state.last_error) / cfg.pid_dt, 0.0)
+
+    # integral separation (controller.py:667-671)
+    separate = jnp.abs(error) > cfg.integral_sep_threshold
+    integral = jnp.where(separate, 0.0, integral)
+    buffer = jnp.where(separate, jnp.zeros_like(buffer), buffer)
+    count = jnp.where(separate, 0, count)
+    head = jnp.where(separate, 0, head)
+
+    cmd = cfg.kp * error + cfg.ki * integral + cfg.kd * deriv
+    return cmd, PIDState(buffer, head, count, error)
+
+
+def split_throttle_brake(cmd: Array):
+    """Positive command -> throttle, negative -> proportional brake
+    (quirk Q12 fixed: the reference's ``max(max_brake, accel)`` makes any
+    negative command a full brake, ``controller.py:718``)."""
+    throttle = jnp.clip(cmd, 0.0, 1.0)
+    brake = jnp.clip(-cmd, 0.0, 1.0)
+    return throttle, brake

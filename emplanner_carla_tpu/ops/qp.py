@@ -49,22 +49,26 @@ def solve_box_qp(
     u accumulates the residual. For fixed H the inverse is computed once per
     solve (n <= ~128 here, a trivial batched inverse on the MXU).
     """
-    n = f.shape[-1]
-    dtype = f.dtype
-    M = jnp.linalg.inv(H + rho * jnp.eye(n, dtype=dtype))
+    # TPU matmuls default to bf16 passes for f32 inputs; the solver's
+    # inverse/iteration chain needs true f32 (bf16 was observed to NaN the
+    # closed loop on TPU hardware).
+    with jax.default_matmul_precision("highest"):
+        n = f.shape[-1]
+        dtype = f.dtype
+        M = jnp.linalg.inv(H + rho * jnp.eye(n, dtype=dtype))
 
-    def body(_, state):
-        x, z, u = state
-        x = M @ (rho * (z - u) - f)
-        z = jnp.clip(x + u, lb, ub)
-        u = u + x - z
-        return x, z, u
+        def body(_, state):
+            x, z, u = state
+            x = M @ (rho * (z - u) - f)
+            z = jnp.clip(x + u, lb, ub)
+            u = u + x - z
+            return x, z, u
 
-    z0 = jnp.clip(jnp.zeros_like(f), lb, ub)
-    x, z, u = jax.lax.fori_loop(
-        0, iters, body, (z0, z0, jnp.zeros_like(f))
-    )
-    return z
+        z0 = jnp.clip(jnp.zeros_like(f), lb, ub)
+        x, z, u = jax.lax.fori_loop(
+            0, iters, body, (z0, z0, jnp.zeros_like(f))
+        )
+        return z
 
 
 def _polish(P, q, A, l, u, x, y, z, sigma):
@@ -136,6 +140,17 @@ def solve_qp(
     matrix refactored between phases. Values are data-dependent; trip counts
     and shapes are not — the whole solve jits and vmaps.
     """
+    # f32 matmul precision required on TPU — see solve_box_qp.
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_impl(
+            P, q, A, l, u, iters, rho, sigma, rho_eq_scale, alpha,
+            rho_updates, polish,
+        )
+
+
+def _solve_qp_impl(
+    P, q, A, l, u, iters, rho, sigma, rho_eq_scale, alpha, rho_updates, polish
+):
     n = q.shape[-1]
     m = l.shape[-1]
     dtype = q.dtype

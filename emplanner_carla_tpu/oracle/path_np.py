@@ -112,12 +112,14 @@ def corridor(
     dp_s, dp_l, obs_s, obs_l, obs_length=5.0, obs_width=5.0,
     halfwidth=10.0, offset=2,
 ):
-    """Intended math of cal_lmin_lmax (path_planning.py:222-273)."""
+    """Intended math of cal_lmin_lmax (path_planning.py:222-273), with quirk
+    Q16 fixed to match planner/path_qp.py: the band covers the obstacle span
+    and the offset only extends the exit side."""
     n = len(dp_s)
     lmin = -halfwidth * np.ones(n)
     lmax = halfwidth * np.ones(n)
     for os, ol in zip(obs_s, obs_l):
-        i_min = int(np.argmin(np.abs(dp_s - (os - obs_length / 2)))) + offset
+        i_min = int(np.argmin(np.abs(dp_s - (os - obs_length / 2))))
         i_max = int(np.argmin(np.abs(dp_s - (os + obs_length / 2)))) + offset
         i_ctr = int(np.argmin(np.abs(dp_s - os)))
         path_l = dp_l[i_ctr]

@@ -1,0 +1,93 @@
+"""Fleet-scale execution: scenario batches sharded over a TPU mesh.
+
+The reference's only concurrency is a 2-process planner/controller split
+joined by a pickled pipe (SURVEY.md §2.2). The TPU-native scaling story is
+batch (scenario) parallelism: ``vmap`` turns one ego into a batch, and
+``shard_map`` over a device mesh splits the batch across chips with XLA
+collectives (``psum`` over ICI) reducing fleet-level metrics — no NCCL/MPI,
+no pipes.
+
+The mesh axis is named "data": each chip simulates batch/n_devices
+scenarios independently; the only cross-chip traffic is the metric
+reduction at the end (a handful of scalars over ICI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from emplanner_carla_tpu.config import EMConfig
+from emplanner_carla_tpu.sim import closed_loop
+from emplanner_carla_tpu.sim.scenario import Scenario
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
+    """Place a batched Scenario with its leading axis split over the mesh."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), scenarios)
+
+
+def fleet_simulate(scenarios: Scenario, cfg: EMConfig, mesh: Mesh):
+    """Run the closed loop for a sharded scenario batch.
+
+    Returns (metrics, aggregates): per-scenario metrics (sharded like the
+    input) and fleet-level aggregates reduced across the mesh with psum —
+    lateral RMSE, mean speed, collision count, scenario count.
+    """
+    batched = jax.vmap(lambda gp, e, o: closed_loop.simulate(gp, e, o, cfg))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS),),
+        out_specs=(P(DATA_AXIS), P()),
+        check_rep=False,
+    )
+    def run(sc: Scenario):
+        carry, metrics = batched(sc.global_path, sc.ego0, sc.obstacles)
+        b = metrics.lateral_err.shape[0]
+        sq_sum = jnp.sum(metrics.lateral_err**2)
+        n_ticks = jnp.asarray(metrics.lateral_err.size, jnp.float32)
+        collisions = jnp.sum(
+            jnp.any(metrics.collided.reshape(b, -1), axis=1).astype(jnp.float32)
+        )
+        speed_sum = jnp.sum(metrics.speed_kmh)
+        # cross-chip reductions ride ICI
+        tot_sq = jax.lax.psum(sq_sum, DATA_AXIS)
+        tot_ticks = jax.lax.psum(n_ticks, DATA_AXIS)
+        tot_col = jax.lax.psum(collisions, DATA_AXIS)
+        tot_speed = jax.lax.psum(speed_sum, DATA_AXIS)
+        tot_b = jax.lax.psum(jnp.asarray(b, jnp.float32), DATA_AXIS)
+        agg = jnp.stack(
+            [
+                jnp.sqrt(tot_sq / tot_ticks),
+                tot_speed / tot_ticks,
+                tot_col,
+                tot_b,
+            ]
+        )
+        return metrics, agg
+
+    metrics, agg = jax.jit(run)(scenarios)
+    return metrics, {
+        "lateral_rmse": agg[0],
+        "mean_speed_kmh": agg[1],
+        "collisions": agg[2],
+        "n_scenarios": agg[3],
+    }

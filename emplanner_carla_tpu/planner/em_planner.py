@@ -1,0 +1,119 @@
+"""The full EM path-planning cycle as one pure jittable function.
+
+Rebuild of the reference's planner process ``motion_planning``
+(``/root/reference/test_9.py:92-221``): one call = one replan. The
+reference runs this in a second OS process connected by a pickled
+``multiprocessing.Pipe`` (SURVEY.md §2.2); here the whole cycle compiles
+into the closed-loop program, so the pipe, the first-cycle recv-skip race
+guard (``test_9.py:394-395``), and stale-plan handling all disappear.
+
+Pipeline per cycle (citations into test_9.py):
+  1. match predicted pose on the global path            (:99)
+  2. 51-point window -> box-QP smoothing -> local line  (:104-110)
+  3. s_map from the *current* ego position              (:113)
+  4. static obstacles -> (s, l), 30 m nearest gate      (:116-124)
+  5. nearest dynamic obstacle -> 3 virtual statics      (:137-169)
+  6. plan-start Frenet state at the predicted pose      (:172-177)
+  7. S-L DP -> densify -> ::2 downsample                (:180-188)
+  8. corridor -> piecewise-jerk QP                      (:189-201)
+  9. (s, l, l', l'') -> Cartesian -> re-smooth -> Path  (:204-218)
+
+Differences from the reference (intended math; see quirk ledger):
+* the QP stations are used directly as the output path (the reference's
+  midpoint re-enrich at :204-210 plus a duplicated start point feeds
+  near-zero-length segments into its final smoothing);
+* headings/curvatures of the new path come from the full Frenet->Cartesian
+  conversion using the QP's l', l'' before the final smoothing pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from emplanner_carla_tpu.config import EMConfig
+from emplanner_carla_tpu.ops import frenet
+from emplanner_carla_tpu.planner import path_dp, path_qp, reference_line
+from emplanner_carla_tpu.sim import perception
+from emplanner_carla_tpu.types import Array, EgoState, Obstacles, Path
+
+
+class PathPlanResult(NamedTuple):
+    target: Path        # the new local path for the controller (n_qp points)
+    match_index: Array  # updated global-path match index
+    feasible: Array     # DP found a collision-free homotopy
+    path_s: Array       # (n_qp,) stations of the target in local-line s
+    path_l: Array       # (n_qp,) lateral offsets
+
+
+def n_target(cfg: EMConfig) -> int:
+    return cfg.path.n_qp
+
+
+@partial(jax.jit, static_argnames=("cfg", "first_run"))
+def plan_path_cycle(
+    global_path: Path,
+    ego: EgoState,
+    obstacles: Obstacles,
+    prev_match_index: Array,
+    cfg: EMConfig,
+    first_run: bool = False,
+) -> PathPlanResult:
+    rl, pp = cfg.refline, cfg.path
+
+    # 1. plan-start prediction (test_9.py:361; predict_block)
+    from emplanner_carla_tpu.sim import plant as plant_mod
+
+    pred_x, pred_y, _ = plant_mod.predict_forward(ego, cfg.loop.pred_ts)
+
+    # 2. reference line refresh
+    local, s_map, match_index = reference_line.build_reference_line(
+        global_path, pred_x, pred_y, prev_match_index, rl, first_run=first_run
+    )
+    # s_map re-origined at the *current* position (test_9.py:113)
+    s_map = frenet.s_map_from_origin(local, ego.x, ego.y)
+
+    # 3-5. obstacles -> S-L
+    static_mask, dyn_mask, dist = perception.perceive(ego, obstacles, cfg.loop)
+    obs_s, obs_l = frenet.cartesian_to_sl(obstacles.x, obstacles.y, local, s_map)
+    # lateral relevance gate on the reference-line offset (the intent of
+    # test_9.py:71-77 — see perception.perceive for the heading-frame quirk)
+    lat_ok = jnp.abs(obs_l) < cfg.loop.lateral_gate
+    static_mask = perception.static_gate(static_mask & lat_ok, dist)
+    dyn_mask = dyn_mask & lat_ok
+
+    # 6. plan-start Frenet state (uses world-frame velocity/accel as the
+    # reference passes vehicle_v/vehicle_a, test_9.py:172-177,390-391)
+    vx_w, vy_w = ego.v_world
+    s0, l0, _, _, _, _, dl0, ddl0 = frenet.cartesian_to_frenet_full(
+        pred_x, pred_y, vx_w, vy_w, ego.ax, ego.ay, local, s_map
+    )
+
+    virt_s, virt_l, virt_valid = perception.virtual_obstacles(
+        ego.speed, s0, dyn_mask, dist, jnp.hypot(obstacles.vx, obstacles.vy)
+    )
+    all_s = jnp.concatenate([obs_s, virt_s])
+    all_l = jnp.concatenate([obs_l, virt_l])
+    all_valid = jnp.concatenate([static_mask, virt_valid])
+
+    # 7. DP decision + densify + downsample
+    dp_s, dp_l, feasible = path_dp.path_dp(
+        all_s, all_l, all_valid, s0, l0, dl0, ddl0, pp
+    )
+    es, el = path_dp.enrich_dp(dp_s, dp_l, s0, l0, dl0, ddl0, pp)
+    st_s = es[:: pp.qp_downsample]
+    st_l = el[:: pp.qp_downsample]
+
+    # 8. corridor + QP
+    l_min, l_max = path_qp.corridor(st_s, st_l, all_s, all_l, all_valid, pp)
+    spacing = float(pp.sampling_res * pp.qp_downsample)
+    qp_l, qp_dl, qp_ddl = path_qp.path_qp(l_min, l_max, l0, dl0, ddl0, pp, spacing)
+
+    # 9. back to Cartesian + final smoothing (test_9.py:212-218)
+    raw = frenet.frenet_to_cartesian(st_s, qp_l, qp_dl, qp_ddl, local, s_map)
+    target = reference_line.smooth_local_path(raw.x, raw.y, rl)
+
+    return PathPlanResult(target, match_index, feasible, st_s, qp_l)

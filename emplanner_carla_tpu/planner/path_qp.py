@@ -46,20 +46,25 @@ def corridor(
 ):
     """l bounds per DP station (= ``cal_lmin_lmax``, ``path_planning.py:222``).
 
-    For each obstacle, the stations covering [obs_s - L/2, obs_s + L/2]
-    (nearest-station indices, shifted by the reference's +2 fudge offset,
-    ``path_planning.py:240-241``) are clamped on the side opposite the DP
-    decision: dp_l < obs_l => pass on the smaller-l side => cap lmax at
-    obs_l - W/2; otherwise raise lmin to obs_l + W/2.
+    For each obstacle, the stations covering [obs_s - L/2, obs_s + L/2] are
+    clamped on the side opposite the DP decision: dp_l < obs_l => pass on
+    the smaller-l side => cap lmax at obs_l - W/2; otherwise raise lmin to
+    obs_l + W/2.
+
+    Quirk Q16 (new, beyond SURVEY §7.4's ledger): the reference shifts BOTH
+    band indices by +2 stations (``path_planning.py:240-241``, the author's
+    asymmetry fudge) — at coarser station spacing this moves the whole
+    occlusion band downstream of the obstacle, leaving the obstacle's own
+    span unconstrained in the QP (observed as corner-cutting collisions in
+    closed loop). Here the band covers the obstacle span exactly and the
+    offset only *extends* the exit side, which is what the author's comment
+    says the fudge was for.
     """
     if n is None:
         n = dp_s.shape[-1]
     off = cfg.corridor_index_offset
-    idx_min = (
-        jnp.argmin(
-            jnp.abs(dp_s[None, :] - (obs_s - cfg.obs_length / 2)[:, None]), axis=-1
-        )
-        + off
+    idx_min = jnp.argmin(
+        jnp.abs(dp_s[None, :] - (obs_s - cfg.obs_length / 2)[:, None]), axis=-1
     )  # (K,)
     idx_max = (
         jnp.argmin(

@@ -62,6 +62,7 @@ def smooth_xy(x_ref: Array, y_ref: Array, cfg: RefLineConfig, n: int | None = No
     rho = cfg.admm_rho
 
     def solve_one(ref):
+        # f32 matmul precision required on TPU (see ops/qp.py)
         c = jnp.mean(ref)
         r = ref - c
         f = -2.0 * cfg.w_ref * r
@@ -81,7 +82,8 @@ def smooth_xy(x_ref: Array, y_ref: Array, cfg: RefLineConfig, n: int | None = No
         )
         return z + c
 
-    return solve_one(x_ref), solve_one(y_ref)
+    with jax.default_matmul_precision("highest"):
+        return solve_one(x_ref), solve_one(y_ref)
 
 
 def smooth_local_path(x_ref: Array, y_ref: Array, cfg: RefLineConfig) -> Path:

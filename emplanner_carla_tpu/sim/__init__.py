@@ -1,0 +1,6 @@
+from emplanner_carla_tpu.sim import (  # noqa: F401
+    closed_loop,
+    perception,
+    plant,
+    scenario,
+)

@@ -1,0 +1,164 @@
+"""The closed plan-control-step loop as one compiled scan.
+
+Rebuild of the reference's main experiment loop (``test_9.py:224-459``):
+CARLA world ticks, a 100:1 control:plan ratio via ``count % plan_count``,
+a planner in a second OS process, controller re-instantiation on replan,
+and arrival detection with an emergency brake. Here the same structure is a
+nested ``lax.scan``: the outer scan is one replan cycle, the inner scan runs
+``plan_every`` control+plant ticks — no processes, no pipe, no races
+(SURVEY.md §2.2, §5 "race detection"), and ``vmap`` over the whole thing
+turns one ego into a fleet.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from emplanner_carla_tpu.config import EMConfig
+from emplanner_carla_tpu.control import vehicle
+from emplanner_carla_tpu.ops import frenet
+from emplanner_carla_tpu.planner import em_planner
+from emplanner_carla_tpu.sim import plant
+from emplanner_carla_tpu.types import Array, EgoState, Obstacles, Path
+
+
+class TickMetrics(NamedTuple):
+    """Per-control-tick observability (SURVEY.md §5: the structured
+    replacement for the reference's HUD + debug draws + post-run plots)."""
+
+    x: Array
+    y: Array
+    speed_kmh: Array
+    lateral_err: Array   # signed distance to the current target path
+    heading: Array
+    collided: Array      # within collision_radius of any valid obstacle
+    arrived: Array
+
+
+class LoopCarry(NamedTuple):
+    ego: EgoState
+    ctrl: vehicle.ControllerState
+    match_index: Array
+    obstacles: Obstacles
+    arrived: Array
+
+
+COLLISION_RADIUS = 1.5
+ACC_STANDOFF = 7.0   # metres kept to a lead obstacle when stopped
+ACC_HEADWAY = 1.4    # seconds of time headway
+
+
+def _advance_obstacles(obs: Obstacles, dt: float) -> Obstacles:
+    """Constant-velocity NPC motion (the reference drives its NPC with a
+    vendored BehaviorAgent, ``test_9.py:288-291,344``; CV is the scenario
+    model here — the agent presets live in sim/npc.py)."""
+    return obs._replace(x=obs.x + obs.vx * dt, y=obs.y + obs.vy * dt)
+
+
+def _lateral_error(ego: EgoState, target: Path) -> Array:
+    idx = frenet.nearest_index(ego.x, ego.y, target)
+    _, _, tr, _, _ = frenet.project_to_path(ego.x, ego.y, target, idx)
+    return -(ego.x - target.x[idx]) * jnp.sin(tr) + (
+        ego.y - target.y[idx]
+    ) * jnp.cos(tr)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def simulate(
+    global_path: Path,
+    ego0: EgoState,
+    obstacles0: Obstacles,
+    cfg: EMConfig,
+) -> tuple[LoopCarry, TickMetrics]:
+    """Run ``cfg.loop.n_plans`` replan cycles of ``cfg.loop.plan_every``
+    control ticks each. Returns the final carry and per-tick metrics with
+    shape (n_plans, plan_every, ...)."""
+    lp = cfg.loop
+    target_speed = jnp.asarray(lp.target_speed_kmh, jnp.float32)
+    dest_x, dest_y = global_path.x[-1], global_path.y[-1]
+
+    def control_tick(carry, _):
+        ego, cs, obs, target, arrived = carry
+        # Longitudinal safety guard (time-headway ACC): cap the PID's target
+        # speed against the nearest obstacle that lies ahead and laterally
+        # within the ego's swept corridor. The reference has no longitudinal
+        # fallback at all — when its DP is infeasible it follows the
+        # min-cost *colliding* path at full speed (path_planning.py:351-353);
+        # until the S-T speed planner (test_10's intent) takes over, this
+        # guard provides the yield behavior, and it remains as a safety
+        # layer underneath the speed planner.
+        vxw, vyw = ego.v_world
+        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
+        ux, uy = vxw / spd, vyw / spd
+        dxo, dyo = obs.x - ego.x, obs.y - ego.y
+        d_long = dxo * ux + dyo * uy
+        d_lat = -dxo * uy + dyo * ux
+        lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
+        d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
+        v_cap_kmh = 3.6 * jnp.maximum(
+            (d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0
+        )
+        tick_target = jnp.minimum(target_speed, v_cap_kmh)
+        steer, throttle, brake, cs = vehicle.run_step(
+            ego, target, cs, tick_target, cfg.vehicle, cfg.control
+        )
+        arrived = arrived | (
+            jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
+        )
+        # emergency brake on arrival (test_9.py:40-45,441-446)
+        steer = jnp.where(arrived, 0.0, steer)
+        throttle = jnp.where(arrived, 0.0, throttle)
+        brake = jnp.where(arrived, 1.0, brake)
+        ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
+        obs = _advance_obstacles(obs, cfg.plant.dt)
+
+        d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
+        collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
+        m = TickMetrics(
+            ego.x,
+            ego.y,
+            3.6 * ego.speed,
+            _lateral_error(ego, target),
+            ego.phi,
+            collided,
+            arrived,
+        )
+        return (ego, cs, obs, target, arrived), m
+
+    def plan_cycle(carry: LoopCarry, _):
+        res = em_planner.plan_path_cycle(
+            global_path, carry.ego, carry.obstacles, carry.match_index, cfg
+        )
+        cs = carry.ctrl.rebind()  # controller re-instantiation, test_9.py:415
+        (ego, cs, obs, _, arrived), metrics = jax.lax.scan(
+            control_tick,
+            (carry.ego, cs, carry.obstacles, res.target, carry.arrived),
+            None,
+            length=lp.plan_every,
+        )
+        return LoopCarry(ego, cs, res.match_index, obs, arrived), metrics
+
+    carry0 = LoopCarry(
+        ego0,
+        vehicle.ControllerState.init(cfg.control),
+        frenet.nearest_index(ego0.x, ego0.y, global_path),
+        obstacles0,
+        jnp.zeros((), bool),
+    )
+    return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
+
+
+def summarize(metrics: TickMetrics):
+    """Scalar roll-ups: RMS lateral error, mean speed, collision/arrival."""
+    flat = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), metrics)
+    return {
+        "lateral_rmse": jnp.sqrt(jnp.mean(flat.lateral_err**2)),
+        "lateral_max": jnp.max(jnp.abs(flat.lateral_err)),
+        "mean_speed_kmh": jnp.mean(flat.speed_kmh),
+        "collided": jnp.any(flat.collided),
+        "arrived": jnp.any(flat.arrived),
+    }

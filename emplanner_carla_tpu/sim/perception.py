@@ -1,0 +1,115 @@
+"""Ground-truth perception + dynamic->virtual-static obstacle conversion.
+
+Rebuild of ``get_actor_from_world`` (``/root/reference/test_9.py:48-89``) and
+the virtual-obstacle meet/leave construction (``test_9.py:137-169``) as
+masked array ops: the reference's sorted Python lists of (vehicle, dist)
+become fixed-slot masks + distances, "nearest" becomes a masked argmin.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from emplanner_carla_tpu.config import LoopConfig
+from emplanner_carla_tpu.types import Array, EgoState, Obstacles
+
+EGO_LENGTH = 2.910  # test_9.py:138
+OBS_LENGTH = 3.0    # test_9.py:139
+
+
+def perceive(ego: EgoState, obs: Obstacles, cfg: LoopConfig):
+    """Gate world obstacles into static/dynamic candidate masks.
+
+    Gates (test_9.py:60-84): range < perception_range; |lateral offset along
+    the ego normal| < lateral_gate; longitudinal offset along the motion
+    direction > behind_gate (metres); speed > dynamic_speed_gate splits
+    dynamic/static.
+
+    Quirk Q17 (new, beyond SURVEY §7.4's ledger): the reference's behind
+    gate is ``np.dot(v1, ego_velocity) > -10`` (``test_9.py:78``) — a
+    metres x (m/s) dot product compared against "-10 m", so at 14 m/s an
+    obstacle is dropped once it is only 0.7 m behind the ego *centre*,
+    while the car body is still alongside; the next replan then cuts back
+    to the centreline into the obstacle (observed in closed loop). The
+    intended gate is the longitudinal offset in metres: we project onto the
+    unit motion direction (falling back to the heading below walking speed).
+
+    Returns (static_mask, dynamic_mask, dist) over the obstacle slots.
+    """
+    dx = obs.x - ego.x
+    dy = obs.y - ego.y
+    dist = jnp.hypot(dx, dy)
+    vx_w, vy_w = ego.v_world
+    speed_w = jnp.hypot(vx_w, vy_w)
+    slow = speed_w < 0.5
+    ux = jnp.where(slow, jnp.cos(ego.phi), vx_w / jnp.where(slow, 1.0, speed_w))
+    uy = jnp.where(slow, jnp.sin(ego.phi), vy_w / jnp.where(slow, 1.0, speed_w))
+    longitudinal = dx * ux + dy * uy
+    # NOTE the lateral gate is NOT applied here. The reference gates on the
+    # offset along the ego *heading* normal (test_9.py:76-77), which drops
+    # obstacles dead ahead on the road whenever the ego's heading is rotated
+    # mid-swerve; its own comment (test_9.py:71-74) states the intent is the
+    # offset relative to the reference line — which is exactly obs_l, applied
+    # by the planner after the S-L projection (em_planner.plan_path_cycle).
+    in_view = (
+        obs.valid
+        & (dist < cfg.perception_range)
+        & (longitudinal > cfg.behind_gate)
+    )
+    speed = jnp.hypot(obs.vx, obs.vy)
+    dynamic = in_view & (speed > cfg.dynamic_speed_gate)
+    static = in_view & ~(speed > cfg.dynamic_speed_gate)
+    return static, dynamic, dist
+
+
+def static_gate(static_mask: Array, dist: Array, gate: float = 30.0) -> Array:
+    """The reference only feeds static obstacles to the planner when the
+    nearest one is within 30 m (``test_9.py:116``)."""
+    nearest = jnp.min(jnp.where(static_mask, dist, jnp.inf))
+    return static_mask & (nearest <= gate)
+
+
+def virtual_obstacles(
+    ego_speed: Array,
+    begin_s: Array,
+    dyn_mask: Array,
+    dist: Array,
+    obs_speed: Array,
+    horizon_s: float = 80.0,
+):
+    """Convert the nearest dynamic obstacle into 3 virtual static S-L points.
+
+    Constant-velocity meet/leave computation (``test_9.py:137-169``):
+    meet_t = (D - L_ego/2 - L_obs/2) / dv, leave_t = meet_t +
+    (L_ego + L_obs)/dv; the reference then drops virtual obstacles at l = 0
+    at meet_s - 10, the midpoint, and leave_s (gated on leave_s < 80).
+
+    Two deviations, both fixes of reference fragility observed in closed
+    loop: (a) the reference divides by dv unguarded — we require the ego to
+    actually be closing (dv > 0.1); (b) because meet_s is recomputed from
+    the *shrinking* gap on every replan, the reference's band
+    [meet_s - 10, leave_s] always floats ahead of the ego, so the planned
+    swerve is perpetually deferred until the geometry is infeasible
+    (rear-end collision). We anchor the band at the NPC's *current* station
+    as well, occluding [obs_s_now, meet_s - 10, midpoint, leave_s] so the
+    lateral move starts immediately.
+
+    Returns (s (4,), l (4,), valid (4,)).
+    """
+    any_dyn = jnp.any(dyn_mask)
+    idx = jnp.argmin(jnp.where(dyn_mask, dist, jnp.inf))
+    d = dist[idx]
+    v_obs = obs_speed[idx]
+    dv = ego_speed - v_obs
+    closing = dv > 0.1
+    dv_safe = jnp.where(closing, dv, 1.0)
+    meet_t = (d - EGO_LENGTH / 2 - OBS_LENGTH / 2) / dv_safe
+    leave_t = meet_t + (EGO_LENGTH + OBS_LENGTH) / dv_safe
+    obs_now_s = begin_s + d
+    meet_s = obs_now_s + v_obs * meet_t - OBS_LENGTH / 2
+    leave_s = obs_now_s + v_obs * leave_t + OBS_LENGTH / 2
+    use = any_dyn & closing & (meet_s - 10.0 < horizon_s)
+    s = jnp.stack(
+        [obs_now_s, meet_s - 10.0, 0.5 * (meet_s + leave_s), leave_s]
+    )
+    return s, jnp.zeros(4), jnp.full(4, use)

@@ -63,6 +63,7 @@ class EgoState(NamedTuple):
     omega: Array    # yaw rate (rad/s)
     ax: Array       # world-frame acceleration x (m/s^2)
     ay: Array       # world-frame acceleration y (m/s^2)
+    steer: Array    # applied (post-actuator) normalized steer in [-1, 1]
 
     @property
     def speed(self) -> Array:
