@@ -227,6 +227,26 @@ def cartesian_to_frenet_full(
     return s, l, s_dot, l_dot, s_ddot, l_ddot, l_prime, l_pprime
 
 
+def dynamic_obs_frenet(
+    px: Array, py: Array, vx: Array, vy: Array, path: Path, s_map: Array
+):
+    """(s, l, s_dot, l_dot) of moving obstacles against a reference path.
+
+    Port of the intended math of ``cal_dy_obs_deri``
+    (``planning_utils.py:783-808``) fused with the position projection
+    (no 128-slot NaN buffers; fixed-width masked arrays).
+    """
+    idx = nearest_index(px, py, path)
+    xr, yr, tr, kr, ds = project_to_path(px, py, path, idx)
+    s = _gather(s_map, idx) + ds
+    nx, ny = -jnp.sin(tr), jnp.cos(tr)
+    tx, ty = jnp.cos(tr), jnp.sin(tr)
+    l = (px - xr) * nx + (py - yr) * ny
+    l_dot = vx * nx + vy * ny
+    s_dot = (vx * tx + vy * ty) / (1.0 - kr * l)
+    return s, l, s_dot, l_dot
+
+
 def proj_point_at_s(
     s: Array, path: Path, s_map: Array
 ) -> tuple[Array, Array, Array, Array]:

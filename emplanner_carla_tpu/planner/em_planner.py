@@ -38,7 +38,7 @@ from emplanner_carla_tpu.config import EMConfig
 from emplanner_carla_tpu.ops import frenet
 from emplanner_carla_tpu.planner import path_dp, path_qp, reference_line
 from emplanner_carla_tpu.sim import perception
-from emplanner_carla_tpu.types import Array, EgoState, Obstacles, Path
+from emplanner_carla_tpu.types import Array, EgoState, Obstacles, Path, Trajectory
 
 
 class PathPlanResult(NamedTuple):
@@ -117,3 +117,73 @@ def plan_path_cycle(
     target = reference_line.smooth_local_path(raw.x, raw.y, rl)
 
     return PathPlanResult(target, match_index, feasible, st_s, qp_l)
+
+
+class FullPlanResult(NamedTuple):
+    path: PathPlanResult
+    trajectory: "Trajectory"
+
+
+@partial(jax.jit, static_argnames=("cfg", "first_run"))
+def plan_full_cycle(
+    global_path: Path,
+    ego: EgoState,
+    obstacles: Obstacles,
+    prev_match_index: Array,
+    cfg: EMConfig,
+    first_run: bool = False,
+) -> FullPlanResult:
+    """Path planning + S-T speed planning = the intended full EM cycle.
+
+    This is what ``test_10.py:228-336`` tried to run and never could (quirk
+    Q10 — it crashes on malformed assignments and, per :350, never returns
+    the speed profile anyway). Pipeline after the path stage:
+      1. speed-plan start condition: project ego (v, a) onto the new path's
+         start tangent                                     (test_10.py:248)
+      2. dynamic obstacles -> Frenet (s, l, s_dot, l_dot) against the NEW
+         path                                              (test_10.py:268-277)
+      3. ST graph -> speed DP -> convex space -> speed QP  (test_10.py:285-309)
+      4. 401-point densify + path-speed merge              (test_10.py:318-326)
+
+    Note the reference's ST graph only admits laterally-crossing obstacles
+    (|l_dot| >= 0.3, ``speed_planning_test.py:53``); a slower in-lane lead
+    is handled by the virtual-obstacle overtake on the path side plus the
+    closed loop's time-headway guard (the reference's unbuilt
+    "virtual obstacle" TODO at ``speed_planning_test.py:57-66``).
+    """
+    from emplanner_carla_tpu.planner import speed_planner, trajectory as traj_mod
+
+    res = plan_path_cycle(
+        global_path, ego, obstacles, prev_match_index, cfg, first_run=first_run
+    )
+    target = res.target
+    sp = cfg.speed
+
+    # 1. start condition on the new path
+    vx_w, vy_w = ego.v_world
+    s_dot0, s_ddot0 = speed_planner.speed_plan_start(
+        vx_w, vy_w, ego.ax, ego.ay, target.theta[0]
+    )
+    s_dot0 = jnp.maximum(s_dot0, 0.0)
+
+    # 2. dynamic obstacles against the new path
+    path_arc = traj_mod.path_arc_length(target)
+    _, dyn_mask, _ = perception.perceive(ego, obstacles, cfg.loop)
+    d_s, d_l, d_sdot, d_ldot = frenet.dynamic_obs_frenet(
+        obstacles.x, obstacles.y, obstacles.vx, obstacles.vy, target, path_arc
+    )
+
+    # 3. ST graph -> DP -> convex space -> QP
+    seg = speed_planner.st_graph(d_s, d_l, d_sdot, d_ldot, dyn_mask, sp)
+    dp = speed_planner.speed_dp(seg, s_dot0, sp)
+    s_lb, s_ub, sd_lb, sd_ub = speed_planner.convex_space(
+        dp, seg, path_arc, target.kappa, sp
+    )
+    qs, qv, qa, qt = speed_planner.speed_qp(
+        s_dot0, s_ddot0, s_lb, s_ub, sd_lb, sd_ub, sp
+    )
+
+    # 4. densify + merge
+    s_d, v_d, a_d, t_d = speed_planner.densify_speed(qs, qv, qa, qt, sp)
+    trajectory = traj_mod.merge(target, s_d, v_d, a_d, t_d)
+    return FullPlanResult(res, trajectory)

@@ -1,0 +1,405 @@
+"""S-T speed planning: ST graph -> DP -> convex space -> QP -> densify.
+
+Rebuild of ``/root/reference/planner/speed_planning_test.py`` (the
+reference's only CARLA-free module, SURVEY.md §4; its closed-loop driver
+``test_10.py`` crashes before this pipeline ever runs — quirk Q10 — so the
+standalone functions are the parity target and this module is the first
+place the speed pipeline actually closes the loop).
+
+TPU-native shape:
+* the ST graph is a masked (K,) segment set, not NaN-padded arrays;
+* the 40x16 speed DP is a 16-step ``lax.scan`` whose per-column work is a
+  (40 prev x 40 cur) cost tensor: the obstacle term (5 edge samples x K
+  segments) is precomputed for all columns in one tensor op, and only the
+  acceleration term (which depends on the carried best-arrival-speed table,
+  ``speed_planning_test.py:120``) lives inside the scan;
+* the speed QP always solves the full 16-column horizon with dt = t_step,
+  so every constraint/cost matrix is a trace-time constant (the reference
+  re-sizes the QP to the DP's early-exit length, ``:414-433``, purely to
+  truncate — here truncation is a bound: columns past the DP horizon keep
+  s <= s_max).
+
+Quirk handling (SURVEY.md §7.4): Q4 (dp_speed_t aliases dp_speed_s) is
+structural nonsense that disappears; Q5 (edge samples offset one step
+before the edge) fixed — samples span [t_start, t_end]; Q6 (speed QP bounds
+computed but never passed to cvxopt) fixed — the convex-space bounds
+actually constrain the QP.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emplanner_carla_tpu.config import SpeedPlanConfig
+from emplanner_carla_tpu.ops import qp
+from emplanner_carla_tpu.types import Array, STSegments
+
+BIG = 1e8
+
+
+def speed_plan_start(vx: Array, vy: Array, ax: Array, ay: Array, heading: Array):
+    """Project world velocity/accel onto the path tangent
+    (= ``calc_speed_planning_start_condition``, ``speed_planning_test.py:23``)."""
+    tx, ty = jnp.cos(heading), jnp.sin(heading)
+    return vx * tx + vy * ty, ax * tx + ay * ty
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def st_graph(
+    obs_s: Array,
+    obs_l: Array,
+    obs_s_dot: Array,
+    obs_l_dot: Array,
+    valid: Array,
+    cfg: SpeedPlanConfig,
+) -> STSegments:
+    """Dynamic obstacles -> S-T occupancy segments
+    (= ``generate_st_graph``, ``speed_planning_test.py:38-98``).
+
+    Obstacles moving laterally slower than l_dot_gate are skipped (virtual
+    obstacles handle them on the path side); each crossing obstacle
+    contributes the segment between entering and leaving the |l| <=
+    lateral_gate band under constant velocity, gated to the [t_min_gate,
+    t_max_gate] window.
+    """
+    crossing = jnp.abs(obs_l_dot) >= cfg.l_dot_gate
+    l_dot_safe = jnp.where(crossing, obs_l_dot, 1.0)
+    t_zero = -obs_l / l_dot_safe
+    t_b1 = cfg.lateral_gate / l_dot_safe + t_zero
+    t_b2 = -cfg.lateral_gate / l_dot_safe + t_zero
+    t_max = jnp.maximum(t_b1, t_b2)
+    t_min = jnp.minimum(t_b1, t_b2)
+    in_window = (t_max >= cfg.t_min_gate) & (t_min <= cfg.t_max_gate)
+    already_in = (t_min < 0.0) & (t_max > 0.0)
+    t_in = jnp.where(already_in, 0.0, t_min)
+    s_in = obs_s + obs_s_dot * t_in
+    s_out = obs_s + obs_s_dot * t_max
+    keep = valid & crossing & in_window
+    return STSegments(s_in, s_out, t_in, t_max, keep)
+
+
+def _seg_distance(s: Array, t: Array, seg: STSegments):
+    """Min distance from (s, t) points to each obstacle segment
+    (``speed_planning_test.py:256-268``). s, t: (...,); returns (..., K)."""
+    v1s = seg.s_in - s[..., None]
+    v1t = seg.t_in - t[..., None]
+    v2s = seg.s_out - s[..., None]
+    v2t = seg.t_out - t[..., None]
+    v3s = v2s - v1s
+    v3t = v2t - v1t
+    d1 = jnp.sqrt(v1s**2 + v1t**2)
+    d2 = jnp.sqrt(v2s**2 + v2t**2)
+    nrm = jnp.sqrt(v3s**2 + v3t**2) + 1e-12
+    d_perp = jnp.abs(v1s * v3t - v1t * v3s) / nrm
+    p1 = v1s * v3s + v1t * v3t
+    p2 = v2s * v3s + v2t * v3t
+    endpoint = (p1 > 0) == (p2 > 0)
+    return jnp.where(endpoint, jnp.minimum(d1, d2), d_perp)
+
+
+def _collision_cost(d: Array, cfg: SpeedPlanConfig) -> Array:
+    """w_obs below collision_dist; w_obs^(1.5 - d) in the danger band
+    (= ``CalcCollisionCost``, ``speed_planning_test.py:274-284``)."""
+    log_w = jnp.log(cfg.w_obs)
+    band = jnp.exp(log_w * (cfg.obs_collision_dist + 1.0 - d))
+    return jnp.where(
+        d < cfg.obs_collision_dist,
+        cfg.w_obs,
+        jnp.where(d < cfg.obs_danger_dist, band, 0.0),
+    )
+
+
+class SpeedDPResult(NamedTuple):
+    s: Array        # (n_t,) chosen s per t column
+    t: Array        # (n_t,) column times
+    valid: Array    # (n_t,) columns up to the DP terminal column
+    end_index: Array  # terminal column index (int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def speed_dp(
+    seg: STSegments, plan_start_s_dot: Array, cfg: SpeedPlanConfig
+) -> SpeedDPResult:
+    """Speed decision DP over the (40 s x 16 t) lattice
+    (= ``speed_DP``, ``speed_planning_test.py:101-188``).
+
+    Internally rows are s ascending (the reference's row 0 = s_max
+    convention, ``CalcSTCoordinate:287``, is an indexing detail its outputs
+    undo). Termination picks the min cost over the last column and the
+    s_max row of every column (``:162-172``); ties at equal cost resolve to
+    the largest t (the reference's <= scans keep the last minimum).
+    """
+    s_grid = jnp.asarray(cfg.s_grid, jnp.float32)  # (n_s,) ascending
+    n_s, n_t = cfg.n_s, cfg.n_t
+    t_grid = (jnp.arange(n_t, dtype=jnp.float32) + 1.0) * cfg.t_step
+    dt = cfg.t_step
+
+    # --- edge-independent obstacle+speed cost, all columns at once ---
+    m = cfg.n_edge_samples
+    frac = jnp.arange(m, dtype=jnp.float32) / (m - 1)  # [0, 1] (Q5 fixed)
+
+    # column 0 edges: (0,0) -> (s_j, t_0)
+    s0_samples = s_grid[:, None] * frac[None, :]            # (n_s, m)
+    t0_samples = t_grid[0] * frac[None, :] * jnp.ones((n_s, 1))
+    d0 = _seg_distance(s0_samples, t0_samples, seg)         # (n_s, m, K)
+    obs0 = jnp.sum(
+        jnp.where(seg.valid, _collision_cost(d0, cfg), 0.0), axis=(-2, -1)
+    )  # (n_s,)
+    v0 = s_grid / t_grid[0]
+    ref0 = cfg.w_ref_speed * (v0 - cfg.reference_speed) ** 2
+    a0 = (v0 - plan_start_s_dot) / t_grid[0]
+    acc0 = jnp.where(
+        (a0 < cfg.accel_max) & (a0 > cfg.accel_min),
+        cfg.w_accel * a0**2,
+        cfg.accel_penalty * cfg.w_accel * a0**2,
+    )
+    cost0 = obs0 + ref0 + acc0
+
+    # transition edges: (s_k, t_{i-1}) -> (s_j, t_i), i = 1..n_t-1
+    # sample tensor: (n_t-1, n_s_prev, n_s_cur, m)
+    t_start = t_grid[:-1]
+    s_samp = s_grid[None, :, None, None] + (
+        s_grid[None, None, :, None] - s_grid[None, :, None, None]
+    ) * frac[None, None, None, :]
+    t_samp = (t_start[:, None, None, None] + dt * frac[None, None, None, :]) * jnp.ones(
+        (1, n_s, n_s, 1)
+    )
+    d_tr = _seg_distance(s_samp, t_samp, seg)  # (n_t-1, n_s, n_s, m, K)
+    obs_tr = jnp.sum(
+        jnp.where(seg.valid, _collision_cost(d_tr, cfg), 0.0), axis=(-2, -1)
+    )  # (n_t-1, n_s, n_s)
+
+    dv = (s_grid[None, :] - s_grid[:, None]) / dt  # (prev, cur) edge speed
+    ref_tr = cfg.w_ref_speed * (dv - cfg.reference_speed) ** 2
+    # reverse edges (s decreasing) are physically invalid; the reference
+    # prices them via the huge accel penalty — mask them out directly
+    forbidden = dv < 0.0
+    static_tr = obs_tr + ref_tr[None, :, :] + jnp.where(forbidden, BIG, 0.0)
+
+    def column(carry, inp):
+        cost_prev, sdot_prev = carry
+        col_static = inp  # (n_s, n_s)
+        accel = (dv - sdot_prev[:, None]) / dt
+        acc_cost = jnp.where(
+            (accel < cfg.accel_max) & (accel > cfg.accel_min),
+            cfg.w_accel * accel**2,
+            cfg.accel_penalty * cfg.w_accel * accel**2,
+        )
+        total = cost_prev[:, None] + col_static + acc_cost
+        best_prev = jnp.argmin(total, axis=0).astype(jnp.int32)
+        cost_new = jnp.min(total, axis=0)
+        sdot_new = dv[best_prev, jnp.arange(n_s)]
+        return (cost_new, sdot_new), (cost_new, best_prev)
+
+    (cost_last, _), (costs, argmins) = jax.lax.scan(
+        column, (cost0, v0), static_tr
+    )
+    all_costs = jnp.concatenate([cost0[None], costs])  # (n_t, n_s)
+
+    # --- termination: right column vs s_max row (<= keeps later/larger t) ---
+    best_right = jnp.argmin(all_costs[-1]).astype(jnp.int32)
+    right_cost = all_costs[-1, best_right]
+    top_costs = all_costs[:, -1]  # s_max row per column
+    best_top_col = (
+        n_t - 1 - jnp.argmin(top_costs[::-1]).astype(jnp.int32)
+    )  # last minimum
+    top_cost = top_costs[best_top_col]
+    use_top = top_cost <= right_cost
+    end_col = jnp.where(use_top, best_top_col, n_t - 1)
+    end_row = jnp.where(use_top, n_s - 1, best_right)
+
+    # --- backtrack (argmins[c] maps column c+1 rows -> column c rows) ---
+    # walk from end_col down to 0; for columns beyond end_col emit invalid
+    def emit(carry, c):
+        row = carry
+        on = c <= end_col
+        this_row = jnp.where(c == end_col, end_row, row)
+        prev_row = jnp.where(
+            (c > 0) & on, argmins[jnp.maximum(c - 1, 0)][this_row], this_row
+        )
+        return prev_row, jnp.where(on, this_row, -1)
+
+    _, rows_rev = jax.lax.scan(
+        emit, end_row, jnp.arange(n_t - 1, -1, -1, dtype=jnp.int32)
+    )
+    rows = rows_rev[::-1]
+    valid = jnp.arange(n_t) <= end_col
+    s_out = jnp.where(valid, s_grid[jnp.maximum(rows, 0)], 0.0)
+    return SpeedDPResult(s_out, t_grid, valid, end_col)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def convex_space(
+    dp: SpeedDPResult,
+    seg: STSegments,
+    path_s: Array,
+    path_kappa: Array,
+    cfg: SpeedPlanConfig,
+):
+    """Bounds (s_lb, s_ub, s_dot_lb, s_dot_ub) for the speed QP
+    (= ``generate_convex_space``, ``speed_planning_test.py:308-400``).
+
+    s_dot_ub = sqrt(a_lat_max / |kappa(s)|) at the DP stations; per obstacle
+    the DP decision (dp_s vs the obstacle line at its mid time) either caps
+    s_ub (yield) or raises s_lb (overtake) along the segment's line over the
+    buffered t-index window [t_lb-2 (floor 3), t_ub+2].
+    """
+    n_t = cfg.n_t
+    s_lb = jnp.zeros(n_t)
+    s_ub = jnp.full(n_t, BIG)
+    kappa_at = jnp.interp(dp.s, path_s, jnp.abs(path_kappa))
+    s_dot_ub = jnp.sqrt(cfg.max_lateral_accel / (kappa_at + 1e-10))
+    s_dot_ub = jnp.where(dp.valid, s_dot_ub, BIG)
+    s_dot_lb = jnp.zeros(n_t)
+    # Columns past the DP end stay unconstrained: the DP only ends early by
+    # reaching the top of its s grid (free flow beyond), and capping the
+    # remaining horizon at the grid top would make the QP — a global
+    # optimization — decelerate from t = 0 to satisfy s(T) <= s_grid_max
+    # (observed: ~23 km/h mean instead of 50). The reference avoids the
+    # issue by truncating the QP horizon to the DP's end time
+    # (``speed_planning_test.py:428-433``); an unconstrained tail is the
+    # fixed-shape equivalent, and the merge masks samples beyond the
+    # physical path end.
+
+    # per-obstacle decision at the segment's mid time
+    obs_t = 0.5 * (seg.t_in + seg.t_out)
+    obs_s = 0.5 * (seg.s_in + seg.s_out)
+    denom = jnp.where(
+        jnp.abs(seg.t_out - seg.t_in) < 1e-6, 1.0, seg.t_out - seg.t_in
+    )
+    obs_speed = (seg.s_out - seg.s_in) / denom
+    dp_t_full = jnp.concatenate([jnp.zeros(1), dp.t])
+    # hold the last valid DP s for columns past the DP end so the interp
+    # stays monotone (invalid slots carry 0)
+    s_end_val = dp.s[dp.end_index]
+    dp_s_clean = jnp.where(dp.valid, dp.s, s_end_val)
+    dp_s_full = jnp.concatenate([jnp.zeros(1), dp_s_clean])
+    dp_s_at_obs = jax.vmap(lambda t: jnp.interp(t, dp_t_full, dp_s_full))(obs_t)
+    yield_to = obs_s > dp_s_at_obs  # (K,)
+
+    # t-index window with the reference's +-2 buffer, floor 3, cap dp end
+    col = jnp.arange(n_t)
+    t_lb_idx = jnp.sum((dp.t[None, :] <= seg.t_in[:, None]), axis=1) - 1
+    t_lb_idx = jnp.clip(t_lb_idx, 0, n_t - 1)
+    t_ub_idx = jnp.sum((dp.t[None, :] <= seg.t_out[:, None]), axis=1) - 1
+    t_ub_idx = jnp.clip(t_ub_idx, 0, n_t - 1)
+    t_lb_idx = jnp.maximum(t_lb_idx - 2, 3)
+    t_ub_idx = jnp.minimum(t_ub_idx + 2, dp.end_index)
+    in_win = (col[None, :] >= t_lb_idx[:, None]) & (
+        col[None, :] <= t_ub_idx[:, None]
+    ) & seg.valid[:, None]
+
+    line_s = seg.s_in[:, None] + obs_speed[:, None] * (
+        dp.t[None, :] - seg.t_in[:, None]
+    )  # (K, n_t)
+    ub_cand = jnp.where(in_win & yield_to[:, None], line_s, BIG)
+    lb_cand = jnp.where(in_win & ~yield_to[:, None], line_s, -BIG)
+    s_ub = jnp.minimum(s_ub, jnp.min(ub_cand, axis=0))
+    s_lb = jnp.maximum(s_lb, jnp.max(lb_cand, axis=0))
+    return s_lb, s_ub, s_dot_lb, s_dot_ub
+
+
+def _speed_qp_constants(cfg: SpeedPlanConfig):
+    """Trace-time constant P and A for the full-horizon speed QP."""
+    n = cfg.n_t + 1  # knots incl. the start
+    nv = 3 * n
+    dt = cfg.t_step
+
+    P = np.zeros((nv, nv))
+    for i in range(n):
+        P[3 * i + 1, 3 * i + 1] += cfg.w_qp_v_ref
+        P[3 * i + 2, 3 * i + 2] += cfg.w_qp_s_dot2
+    for i in range(n - 1):
+        a, b = 3 * i + 2, 3 * i + 5
+        P[a, a] += cfg.w_qp_jerk
+        P[b, b] += cfg.w_qp_jerk
+        P[a, b] -= cfg.w_qp_jerk
+        P[b, a] -= cfg.w_qp_jerk
+    P *= 2.0
+
+    # piecewise-jerk continuity (speed_planning_test.py:444-452)
+    Aeq = np.zeros((2 * (n - 1), nv))
+    for i in range(n - 1):
+        Aeq[2 * i, 3 * i : 3 * i + 6] = [1, dt, dt**2 / 3, -1, 0, dt**2 / 6]
+        Aeq[2 * i + 1, 3 * i : 3 * i + 6] = [0, 1, dt / 2, 0, -1, dt / 2]
+    # no reverse: s_i - s_{i+1} <= 0 (speed_planning_test.py:455-461)
+    A_mono = np.zeros((n - 1, nv))
+    for i in range(n - 1):
+        A_mono[i, 3 * i] = 1.0
+        A_mono[i, 3 * i + 3] = -1.0
+    # per-variable box rows (identity) — convex space, accel box, start pin
+    A_box = np.eye(nv)
+    A = np.concatenate([Aeq, A_mono, A_box])
+    return P.astype(np.float32), A.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def speed_qp(
+    plan_start_s_dot: Array,
+    plan_start_s_dot2: Array,
+    s_lb: Array,
+    s_ub: Array,
+    s_dot_lb: Array,
+    s_dot_ub: Array,
+    cfg: SpeedPlanConfig,
+):
+    """Smooth s(t) inside the convex space (= ``speed_QP``,
+    ``speed_planning_test.py:403-511``; quirk Q6 fixed — the bounds are
+    real constraints here). Returns (s, s_dot, s_dot2, t) over the full
+    horizon (n_t + 1 knots at dt = t_step)."""
+    n = cfg.n_t + 1
+    nv = 3 * n
+    P_np, A_np = _speed_qp_constants(cfg)
+    P = jnp.asarray(P_np)
+    A = jnp.asarray(A_np)
+
+    q = jnp.zeros(nv).at[1::3].set(-2.0 * cfg.w_qp_v_ref * cfg.reference_speed)
+
+    lb = jnp.zeros(nv)
+    ub = jnp.zeros(nv)
+    lb = lb.at[0::3].set(jnp.concatenate([jnp.zeros(1), s_lb]))
+    ub = ub.at[0::3].set(jnp.concatenate([jnp.zeros(1), s_ub]))
+    lb = lb.at[1::3].set(jnp.concatenate([plan_start_s_dot[None], s_dot_lb]))
+    ub = ub.at[1::3].set(jnp.concatenate([plan_start_s_dot[None], s_dot_ub]))
+    lb = lb.at[2::3].set(
+        jnp.concatenate([plan_start_s_dot2[None], jnp.full(n - 1, cfg.accel_min)])
+    )
+    ub = ub.at[2::3].set(
+        jnp.concatenate([plan_start_s_dot2[None], jnp.full(n - 1, cfg.accel_max)])
+    )
+
+    n_eq = 2 * (n - 1)
+    n_mono = n - 1
+    l = jnp.concatenate([jnp.zeros(n_eq), jnp.full(n_mono, -BIG), lb])
+    u = jnp.concatenate([jnp.zeros(n_eq), jnp.zeros(n_mono), ub])
+
+    x = qp.solve_qp(P, q, A, l, u, iters=cfg.admm_iters)
+    t = jnp.arange(n, dtype=jnp.float32) * cfg.t_step
+    return x[0::3], x[1::3], x[2::3], t
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def densify_speed(
+    s: Array, s_dot: Array, s_dot2: Array, t: Array, cfg: SpeedPlanConfig
+):
+    """Densify the QP knots to n_dense points by exact piecewise-constant-
+    jerk interpolation (= ``increase_points``,
+    ``speed_planning_test.py:514-562``, with the reference's x^2
+    approximations replaced by the exact cubic; its off-by-one sample at
+    (i-1)*dt is quirk-family Q5 and is fixed)."""
+    n_knots = s.shape[-1]
+    dt = cfg.t_step
+    T = t[-1]
+    tq = jnp.linspace(0.0, T, cfg.n_dense)
+    j = jnp.clip((tq / dt).astype(jnp.int32), 0, n_knots - 2)
+    x = tq - t[j]
+    jerk = (s_dot2[j + 1] - s_dot2[j]) / dt
+    s_d = s[j] + s_dot[j] * x + 0.5 * s_dot2[j] * x**2 + jerk * x**3 / 6.0
+    v_d = s_dot[j] + s_dot2[j] * x + 0.5 * jerk * x**2
+    a_d = s_dot2[j] + jerk * x
+    return s_d, v_d, a_d, tq

@@ -1,0 +1,199 @@
+"""Road graph on padded arrays (the carla.Map / networkx replacement).
+
+Rebuild of the reference's routing substrate
+(``/root/reference/planner/global_planning.py``): CARLA's topology becomes a
+``RoadGraph`` of fixed-width arrays — node positions, a padded adjacency
+list, and per-edge waypoint polylines resampled at a fixed resolution
+(the reference walks ``waypoint.next(2 m)`` per segment,
+``global_planning.py:57-76``). Procedural town generators replace
+``carla.Map.get_topology``.
+
+Per SURVEY.md §7.1, routing is per-scenario *setup*, not the hot loop: graph
+construction is host-side NumPy; only the search result (a stitched global
+path, ``search_path_way``) feeds the compiled planner. An on-device
+``lax.while_loop`` A* lives in routing/astar.py for completeness and for
+batched route queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import IntEnum
+
+import numpy as np
+
+
+class RoadOption(IntEnum):
+    """Topological maneuver tag per edge (``global_planning.py:13-24``)."""
+
+    VOID = -1
+    LEFT = 1
+    RIGHT = 2
+    STRAIGHT = 3
+    LANE_FOLLOW = 4
+    CHANGE_LANE_LEFT = 5
+    CHANGE_LANE_RIGHT = 6
+
+
+@dataclass
+class RoadGraph:
+    """Directed road graph with padded adjacency and edge polylines.
+
+    nodes_xy:    (N, 2) node positions
+    adj:         (N, max_deg) successor node ids, -1 padded
+    adj_edge:    (N, max_deg) edge ids aligned with adj, -1 padded
+    edge_len:    (E,) polyline length (metres)
+    edge_path:   (E, P, 2) resampled waypoints incl. both endpoints,
+                 NaN-padded beyond edge_n[e]
+    edge_n:      (E,) valid waypoint count per edge
+    edge_option: (E,) RoadOption tag
+    """
+
+    nodes_xy: np.ndarray
+    adj: np.ndarray
+    adj_edge: np.ndarray
+    edge_len: np.ndarray
+    edge_path: np.ndarray
+    edge_n: np.ndarray
+    edge_option: np.ndarray
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.nodes_xy)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.edge_len)
+
+    def nearest_node(self, x: float, y: float) -> int:
+        """Locate a query position on the graph (the array analogue of
+        ``_find_location_edge``, ``global_planning.py:136-151``)."""
+        d = np.hypot(self.nodes_xy[:, 0] - x, self.nodes_xy[:, 1] - y)
+        return int(np.argmin(d))
+
+    def edge_between(self, n1: int, n2: int) -> int:
+        row = self.adj[n1]
+        hit = np.where(row == n2)[0]
+        return int(self.adj_edge[n1][hit[0]]) if len(hit) else -1
+
+
+def build_graph(
+    segments: list[tuple[np.ndarray, RoadOption]],
+    resolution: float = 2.0,
+    max_degree: int = 4,
+    snap: float = 0.5,
+) -> RoadGraph:
+    """Assemble a RoadGraph from raw segment polylines.
+
+    Mirrors ``_build_topology`` + ``_build_graph``
+    (``global_planning.py:43-134``): each segment is resampled at
+    ``resolution``; endpoints are deduplicated into nodes by snapping to a
+    grid (the reference rounds coordinates to 2 decimals,
+    ``global_planning.py:103-105``); edges carry their waypoint paths and
+    lengths (the reference's edge cost is the waypoint count,
+    ``global_planning.py:130`` — we use true metric length, the intended
+    cost).
+    """
+    node_ids: dict[tuple[int, int], int] = {}
+    nodes: list[tuple[float, float]] = []
+
+    def node_of(p) -> int:
+        key = (int(round(p[0] / snap)), int(round(p[1] / snap)))
+        if key not in node_ids:
+            node_ids[key] = len(nodes)
+            nodes.append((float(p[0]), float(p[1])))
+        return node_ids[key]
+
+    resampled = [(_resample(path, resolution), opt) for path, opt in segments]
+    max_p = max(len(p) for p, _ in resampled)
+
+    E = len(resampled)
+    edge_path = np.full((E, max_p, 2), np.nan)
+    edge_n = np.zeros(E, np.int32)
+    edge_len = np.zeros(E, np.float64)
+    edge_option = np.full(E, int(RoadOption.LANE_FOLLOW), np.int32)
+    heads = []
+    tails = []
+    for e, (path, opt) in enumerate(resampled):
+        edge_path[e, : len(path)] = path
+        edge_n[e] = len(path)
+        edge_len[e] = np.sum(np.hypot(*np.diff(path, axis=0).T))
+        edge_option[e] = int(opt)
+        heads.append(node_of(path[0]))
+        tails.append(node_of(path[-1]))
+
+    N = len(nodes)
+    adj = np.full((N, max_degree), -1, np.int32)
+    adj_edge = np.full((N, max_degree), -1, np.int32)
+    deg = np.zeros(N, np.int32)
+    for e, (h, t) in enumerate(zip(heads, tails)):
+        if deg[h] >= max_degree:
+            raise ValueError(f"node {h} exceeds max_degree={max_degree}")
+        adj[h, deg[h]] = t
+        adj_edge[h, deg[h]] = e
+        deg[h] += 1
+
+    return RoadGraph(
+        np.asarray(nodes), adj, adj_edge, edge_len, edge_path, edge_n,
+        edge_option,
+    )
+
+
+def _resample(path: np.ndarray, resolution: float) -> np.ndarray:
+    """Resample a polyline at fixed arc-length spacing, keeping endpoints."""
+    path = np.asarray(path, np.float64)
+    seg = np.hypot(*np.diff(path, axis=0).T)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    total = s[-1]
+    n = max(int(np.floor(total / resolution)) + 1, 2)
+    sq = np.linspace(0.0, total, n)
+    x = np.interp(sq, s, path[:, 0])
+    y = np.interp(sq, s, path[:, 1])
+    return np.stack([x, y], axis=1)
+
+
+def grid_town(
+    blocks: int = 3, block_size: float = 80.0, resolution: float = 2.0
+) -> RoadGraph:
+    """A Manhattan-grid town: bidirectional straight streets + simple
+    intersection connections. The procedural stand-in for CARLA's Town05."""
+    segs: list[tuple[np.ndarray, RoadOption]] = []
+    n = blocks + 1
+    for i in range(n):
+        for j in range(n):
+            x0, y0 = i * block_size, j * block_size
+            if i + 1 < n:
+                a = np.array([[x0, y0], [x0 + block_size, y0]])
+                segs.append((a, RoadOption.LANE_FOLLOW))
+                segs.append((a[::-1], RoadOption.LANE_FOLLOW))
+            if j + 1 < n:
+                a = np.array([[x0, y0], [x0, y0 + block_size]])
+                segs.append((a, RoadOption.LANE_FOLLOW))
+                segs.append((a[::-1], RoadOption.LANE_FOLLOW))
+    return build_graph(segs, resolution)
+
+
+def ring_town(
+    radius: float = 120.0, n_spokes: int = 4, resolution: float = 2.0
+) -> RoadGraph:
+    """A ring road with spokes — exercises curved edges and merges."""
+    segs: list[tuple[np.ndarray, RoadOption]] = []
+    n_arc = n_spokes
+    ang = np.linspace(0, 2 * np.pi, n_arc, endpoint=False)
+    for k in range(n_arc):
+        a0, a1 = ang[k], ang[(k + 1) % n_arc]
+        if a1 <= a0:
+            a1 += 2 * np.pi
+        t = np.linspace(a0, a1, 40)
+        arc = np.stack([radius * np.cos(t), radius * np.sin(t)], axis=1)
+        segs.append((arc, RoadOption.LANE_FOLLOW))
+        spoke = np.stack(
+            [
+                np.linspace(0.3 * radius, radius, 20) * np.cos(a0),
+                np.linspace(0.3 * radius, radius, 20) * np.sin(a0),
+            ],
+            axis=1,
+        )
+        segs.append((spoke, RoadOption.STRAIGHT))
+        segs.append((spoke[::-1], RoadOption.STRAIGHT))
+    return build_graph(segs, resolution)

@@ -152,6 +152,96 @@ def simulate(
     return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def simulate_full(
+    global_path: Path,
+    ego0: EgoState,
+    obstacles0: Obstacles,
+    cfg: EMConfig,
+) -> tuple[LoopCarry, TickMetrics]:
+    """The FULL EM closed loop: path + S-T speed planning every replan, the
+    controller tracking the time-parameterized trajectory.
+
+    This is the loop the reference intended with ``test_10.py`` but never
+    ran (quirk Q10): the lateral controller follows the merged trajectory's
+    pose and the PID's per-tick target speed comes from the trajectory's
+    speed profile at the tick's relative time (``speed_planning_test.py``'s
+    401-point densify exists exactly because control runs ~10x faster than
+    planning, :517-519). The time-headway guard of ``simulate`` remains as
+    a safety layer for in-lane leads, which the reference's ST graph
+    excludes (|l_dot| < 0.3, ``speed_planning_test.py:53``).
+    """
+    from emplanner_carla_tpu.planner import trajectory as traj_mod
+
+    lp = cfg.loop
+    dest_x, dest_y = global_path.x[-1], global_path.y[-1]
+    tick_dt = cfg.plant.dt
+
+    def control_tick(carry, tick_idx):
+        ego, cs, obs, traj, target, arrived = carry
+        t_rel = (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
+        plan_speed = traj_mod.speed_at(traj, t_rel)  # m/s
+
+        # safety guard (see simulate())
+        vxw, vyw = ego.v_world
+        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
+        ux, uy = vxw / spd, vyw / spd
+        dxo, dyo = obs.x - ego.x, obs.y - ego.y
+        d_long = dxo * ux + dyo * uy
+        d_lat = -dxo * uy + dyo * ux
+        lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
+        d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
+        v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        tick_target_kmh = 3.6 * jnp.minimum(plan_speed, v_cap)
+
+        steer, throttle, brake, cs = vehicle.run_step(
+            ego, target, cs, tick_target_kmh, cfg.vehicle, cfg.control
+        )
+        arrived = arrived | (
+            jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
+        )
+        steer = jnp.where(arrived, 0.0, steer)
+        throttle = jnp.where(arrived, 0.0, throttle)
+        brake = jnp.where(arrived, 1.0, brake)
+        ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
+        obs = _advance_obstacles(obs, tick_dt)
+
+        d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
+        collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
+        m = TickMetrics(
+            ego.x, ego.y, 3.6 * ego.speed, _lateral_error(ego, target),
+            ego.phi, collided, arrived,
+        )
+        return (ego, cs, obs, traj, target, arrived), m
+
+    def plan_cycle(carry: LoopCarry, _):
+        res = em_planner.plan_full_cycle(
+            global_path, carry.ego, carry.obstacles, carry.match_index, cfg
+        )
+        cs = carry.ctrl.rebind()
+        (ego, cs, obs, _, _, arrived), metrics = jax.lax.scan(
+            control_tick,
+            (
+                carry.ego, cs, carry.obstacles, res.trajectory,
+                res.path.target, carry.arrived,
+            ),
+            jnp.arange(lp.plan_every),
+        )
+        return (
+            LoopCarry(ego, cs, res.path.match_index, obs, arrived),
+            metrics,
+        )
+
+    carry0 = LoopCarry(
+        ego0,
+        vehicle.ControllerState.init(cfg.control),
+        frenet.nearest_index(ego0.x, ego0.y, global_path),
+        obstacles0,
+        jnp.zeros((), bool),
+    )
+    return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
+
+
 def summarize(metrics: TickMetrics):
     """Scalar roll-ups: RMS lateral error, mean speed, collision/arrival."""
     flat = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), metrics)
