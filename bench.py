@@ -21,27 +21,40 @@ import time
 
 def main():
     import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/emplanner_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from emplanner_carla_tpu.config import EMConfig
     from emplanner_carla_tpu.sim import closed_loop, scenario
 
     cfg = EMConfig()
-    batch = 1024
+    batch = 4096
     scs = scenario.batch_scenarios(jax.random.PRNGKey(1), batch, cfg)
-    sim = jax.jit(
-        jax.vmap(lambda gp, e, o: closed_loop.simulate(gp, e, o, cfg))
-    )
+
+    # Reduce to scalars on device: timing must not include pulling the
+    # (batch, plans, ticks) metric tensors through the TPU tunnel, and on
+    # this backend only a host transfer reliably fences the computation.
+    def run(gp, e, o):
+        carry, metrics = closed_loop.simulate(gp, e, o, cfg)
+        return (
+            jnp.sum(metrics.lateral_err**2),
+            jnp.sum(metrics.lateral_err.astype(jnp.float32) * 0 + 1),
+            jnp.sum(jnp.isfinite(metrics.lateral_err)),
+        )
+
+    sim = jax.jit(jax.vmap(run))
 
     # compile + correctness sanity
-    carry, metrics = sim(scs.global_path, scs.ego0, scs.obstacles)
-    jax.block_until_ready(carry)
-    assert bool(jax.numpy.all(jax.numpy.isfinite(metrics.lateral_err)))
+    sq, cnt, fin = sim(scs.global_path, scs.ego0, scs.obstacles)
+    assert float(jnp.sum(fin)) == float(jnp.sum(cnt)), "non-finite metrics"
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = sim(scs.global_path, scs.ego0, scs.obstacles)
-        jax.block_until_ready(out)
+        sq, cnt, fin = sim(scs.global_path, scs.ego0, scs.obstacles)
+        _ = float(jnp.sum(sq))  # forced synchronization
         best = min(best, time.perf_counter() - t0)
 
     cycles = batch * cfg.loop.n_plans

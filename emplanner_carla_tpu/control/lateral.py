@@ -141,6 +141,69 @@ def lqr_feedforward(K: Array, kappa: Array, vx: Array, vp: VehicleParams) -> Arr
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def lqr_gain_table(
+    vp: VehicleParams, cfg: ControlConfig, n: int = 128, v_max: float = 30.0
+):
+    """Trace-time K(Vx) lookup table.
+
+    The gain depends on a single scalar (Vx), yet the reference recomputes
+    the whole Riccati iteration every control tick (``controller.py:602``) —
+    under ``lax.scan`` that is thousands of sequential 4x4 matmul chains per
+    plan cycle, the worst possible shape for a TPU. Solving the DARE on a
+    dense Vx grid in float64 NumPy at trace time reduces the per-tick work
+    to one gather + lerp; at 128 points over [min_vx, 30] m/s the
+    interpolation error is far below the Riccati tolerance the reference
+    itself accepts (0.1 absolute, ``controller.py:469``).
+
+    Returns (vx_grid (n,), K_table (n, 4)) as jnp constants.
+    """
+    import numpy as np
+
+    vx_grid = np.linspace(cfg.min_vx, v_max, n)
+    Q = np.diag(cfg.lqr_q).astype(np.float64)
+    R = np.array([[cfg.lqr_r]], np.float64)
+    a, b, cf, cr, m, iz = vp.a, vp.b, vp.cf, vp.cr, vp.mass, vp.iz
+    Ks = np.zeros((n, 4))
+    for i, vx in enumerate(vx_grid):
+        A = np.zeros((4, 4))
+        A[0, 1] = 1.0
+        A[1, 1] = (cf + cr) / (m * vx)
+        A[1, 2] = -(cf + cr) / m
+        A[1, 3] = (a * cf - b * cr) / (m * vx)
+        A[2, 3] = 1.0
+        A[3, 1] = (a * cf - b * cr) / (iz * vx)
+        A[3, 2] = -(a * cf - b * cr) / iz
+        A[3, 3] = (a * a * cf + b * b * cr) / (iz * vx)
+        B = np.zeros((4, 1))
+        B[1, 0] = -cf / m
+        B[3, 0] = -a * cf / iz
+        ts = cfg.ts_discretize
+        T = np.linalg.inv(np.eye(4) - 0.5 * ts * A)
+        Ad = T @ (np.eye(4) + 0.5 * ts * A)
+        Bd = T @ B * ts
+        P = Q.copy()
+        for _ in range(cfg.riccati_iters * 4):
+            P_new = (
+                Ad.T @ P @ Ad
+                - (Ad.T @ P @ Bd)
+                @ np.linalg.inv(R + Bd.T @ P @ Bd)
+                @ (Bd.T @ P @ Ad)
+                + Q
+            )
+            if np.abs(P_new - P).max() < 1e-9:
+                P = P_new
+                break
+            P = P_new
+        Ks[i] = (np.linalg.inv(Bd.T @ P @ Bd + R) @ (Bd.T @ P @ Ad))[0]
+    # return NumPy (not jnp): jnp constants created inside a jit trace and
+    # memoized by lru_cache leak tracers into later traces
+    return vx_grid.astype(np.float32), Ks.astype(np.float32)
+
+
 def lqr_steer(
     s: EgoState,
     target: Path,
@@ -150,11 +213,13 @@ def lqr_steer(
 ):
     """One LQR lateral control step -> (normalized steer, new match index)."""
     vx = safe_vx(s, cfg)
-    A, B, _ = error_state_model(vx, vp)
-    A_d, B_d, _ = discretize(A, B, cfg.ts_discretize)
-    Q = jnp.diag(jnp.asarray(cfg.lqr_q))
-    R = jnp.asarray([[cfg.lqr_r]])
-    K = riccati_gain(A_d, B_d, Q, R, cfg.riccati_iters)
+    vx_grid_np, K_table_np = lqr_gain_table(vp, cfg)
+    vx_grid = jnp.asarray(vx_grid_np)
+    K_table = jnp.asarray(K_table_np)
+    K_row = jax.vmap(lambda col: jnp.interp(vx, vx_grid, col), in_axes=1)(
+        K_table
+    )  # (4,)
+    K = K_row[None, :]
     e, kappa, idx = tracking_error(s, target, min_index, cfg)
     delta = -(K @ e)[0] + lqr_feedforward(K, kappa, vx, vp)
     steer = jnp.clip(delta / vp.max_steer_rad, -cfg.steer_limit, cfg.steer_limit)

@@ -245,6 +245,124 @@ def _solve_qp_impl(
     return x
 
 
+def make_prefactored_qp(
+    P_np,
+    A_np,
+    eq_mask_np,
+    q_typical=None,
+    iters_per_phase: int = 100,
+    rho_schedule=(0.1, 1.0, 6.0),
+    sigma: float = 1e-6,
+    rho_eq_scale: float = 1e3,
+    alpha: float = 1.6,
+):
+    """Build a constant-matrix QP solver: min 1/2 x'Px + q'x, l <= Ax <= u.
+
+    For the planner QPs the quadratic form P and constraint matrix A are
+    *fixed* — only (q, l, u) vary per scenario. The generic ``solve_qp``
+    still equilibrates and factors per instance, which on TPU means batched
+    LU/inverse kernels (serializing, compile-heavy: the profiled closed
+    loop spent ~1 s per batched cycle there). This factory does everything
+    matrix-shaped once, in float64 NumPy at trace time:
+
+    * Ruiz equilibration of (P, A) -> D, E, c;
+    * a fixed rho schedule (instead of per-instance adaptive rho — with
+      equilibrated data a 3-phase ladder converges equivalently; validated
+      against scipy in tests/test_qp.py);
+    * (P~ + sigma I + A~' R A~)^-1 per phase.
+
+    The returned ``solve(q, l, u)`` contains only matmuls and clips —
+    MXU-friendly, vmaps to thousands of instances, and compiles in seconds.
+    Which rows are equalities is structural (continuity/pinning rows), so it
+    is passed as a static mask rather than inferred from l == u.
+    """
+    import numpy as np
+
+    P0 = np.asarray(P_np, np.float64)
+    A0 = np.asarray(A_np, np.float64)
+    eq = np.asarray(eq_mask_np, bool)
+    n = P0.shape[0]
+    m = A0.shape[0]
+
+    # Ruiz equilibration (matrices only; the cost scaling c uses P's norms)
+    D = np.ones(n)
+    E = np.ones(m)
+    c = 1.0
+    for _ in range(15):
+        Ps = c * (D[:, None] * P0 * D[None, :])
+        As = E[:, None] * A0 * D[None, :]
+        col = np.maximum(
+            np.abs(Ps).max(axis=0), np.abs(As).max(axis=0)
+        )
+        D /= np.sqrt(np.maximum(col, 1e-8))
+        row = np.abs(E[:, None] * A0 * D[None, :]).max(axis=1)
+        E /= np.sqrt(np.maximum(row, 1e-8))
+        Ps = c * (D[:, None] * P0 * D[None, :])
+        # cost scaling must see the *linear* term too: with |q| >> |P| the
+        # scaled problem is cost-dominated and a fixed rho ladder stalls
+        # (observed: 26 m bound violations on the speed QP whose q carries
+        # -2 w_vref v_ref ~ -1.4e3). q varies per instance, so callers pass
+        # a representative magnitude.
+        cost_norm = np.mean(np.abs(Ps).max(axis=0))
+        if q_typical is not None:
+            cost_norm = max(
+                cost_norm, np.abs(c * D * np.asarray(q_typical, np.float64)).max()
+            )
+        c /= max(np.sqrt(max(cost_norm, 1e-8)), 1e-4)
+    Pt = c * (D[:, None] * P0 * D[None, :])
+    At = E[:, None] * A0 * D[None, :]
+
+    phases = []
+    for rho in rho_schedule:
+        rho_vec = np.where(eq, rho * rho_eq_scale, rho)
+        K = Pt + sigma * np.eye(n) + (At.T * rho_vec) @ At
+        phases.append((rho_vec.astype(np.float32), np.linalg.inv(K).astype(np.float32)))
+
+    # keep factory outputs as NumPy: the factory result is memoized by the
+    # callers' lru_caches, and jnp constants created inside a jit trace
+    # would leak tracers into later traces
+    Pt_np = Pt.astype(np.float32)
+    At_np = At.astype(np.float32)
+    D_np = D.astype(np.float32)
+    E_np = E.astype(np.float32)
+    c_np = np.float32(c)
+
+    def solve(q: Array, l: Array, u: Array) -> Array:
+        with jax.default_matmul_precision("highest"):
+            return _solve(q, l, u)
+
+    def _solve(q: Array, l: Array, u: Array) -> Array:
+        At32 = jnp.asarray(At_np)
+        D32 = jnp.asarray(D_np)
+        E32 = jnp.asarray(E_np)
+        c32 = jnp.float32(c_np)
+        phase_consts = [
+            (jnp.asarray(rv), jnp.asarray(Ki)) for rv, Ki in phases
+        ]
+        qs = c32 * (D32 * q)
+        ls = E32 * l
+        us = E32 * u
+        x = jnp.zeros(n, jnp.float32)
+        z = jnp.clip(jnp.zeros(m, jnp.float32), ls, us)
+        y = jnp.zeros(m, jnp.float32)
+
+        for rho_vec, Kinv in phase_consts:
+            def body(_, state, rho_vec=rho_vec, Kinv=Kinv):
+                x, z, y = state
+                rhs = sigma * x - qs + At32.T @ (rho_vec * z - y)
+                x_new = Kinv @ rhs
+                Ax = At32 @ x_new
+                Ax_rel = alpha * Ax + (1.0 - alpha) * z
+                z_new = jnp.clip(Ax_rel + y / rho_vec, ls, us)
+                y_new = y + rho_vec * (Ax_rel - z_new)
+                return x_new, z_new, y_new
+
+            x, z, y = jax.lax.fori_loop(0, iters_per_phase, body, (x, z, y))
+        return D32 * x
+
+    return solve
+
+
 def kkt_residuals(P, q, A, l, u, x):
     """Primal/dual feasibility diagnostics (for tests and NaN guards)."""
     Ax = A @ x

@@ -21,7 +21,7 @@ Documented reference quirks fixed here (beyond SURVEY.md §7.4's ledger):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -149,14 +149,31 @@ def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
         A_pin[3 + k, nv - 3 + k] = 1.0
 
     A = np.concatenate([Aeq, A_in, A_pin])
+    eq_mask = np.zeros(A.shape[0], bool)
+    eq_mask[: 2 * (n - 1)] = True      # continuity rows
+    eq_mask[-6:] = True                # start/end pinning rows
     front_index = int(np.ceil(d1 / ds))
     back_index = int(np.ceil(d2 / ds))
     return (
         P.astype(np.float32),
         A.astype(np.float32),
+        eq_mask,
         front_index,
         back_index,
     )
+
+
+@lru_cache(maxsize=None)
+def _solver_for(n: int, ds: float, cfg: PathPlanConfig):
+    """Prefactored constant-matrix solver for this (n, ds, cfg) family."""
+    P_np, A_np, eq_mask, front_index, back_index = _qp_constants(n, ds, cfg)
+    q_typ = np.zeros(3 * n)
+    q_typ[0::3] = -2.0 * cfg.w_qp_centre * 2.0  # centre offsets ~ 2 m
+    solve = qp.make_prefactored_qp(
+        P_np, A_np, eq_mask, q_typical=q_typ,
+        iters_per_phase=max(cfg.admm_iters, 60),
+    )
+    return solve, front_index, back_index
 
 
 @partial(jax.jit, static_argnames=("cfg", "n", "ds"))
@@ -178,9 +195,7 @@ def path_qp(
     """
     if n is None:
         n = l_min.shape[-1]
-    P_np, A_np, front_index, back_index = _qp_constants(n, ds, cfg)
-    P = jnp.asarray(P_np)
-    A = jnp.asarray(A_np)
+    solve, front_index, back_index = _solver_for(n, ds, cfg)
     nv = 3 * n
 
     # linear cost: centre-line attraction (path_planning.py:198-205)
@@ -216,5 +231,5 @@ def path_qp(
         [jnp.zeros(2 * (n - 1)), jnp.full(8 * n, -BIG), start, end]
     )
 
-    x = qp.solve_qp(P, q, A, l, u, iters=cfg.admm_iters, sigma=cfg.admm_sigma)
+    x = solve(q, l, u)
     return x[0::3], x[1::3], x[2::3]

@@ -28,7 +28,7 @@ actually constrain the QP.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -335,7 +335,23 @@ def _speed_qp_constants(cfg: SpeedPlanConfig):
     # per-variable box rows (identity) — convex space, accel box, start pin
     A_box = np.eye(nv)
     A = np.concatenate([Aeq, A_mono, A_box])
-    return P.astype(np.float32), A.astype(np.float32)
+    eq_mask = np.zeros(A.shape[0], bool)
+    eq_mask[: 2 * (n - 1)] = True                    # continuity
+    base = 2 * (n - 1) + (n - 1)
+    eq_mask[base : base + 3] = True                  # start-state pin rows
+    return P.astype(np.float32), A.astype(np.float32), eq_mask
+
+
+@lru_cache(maxsize=None)
+def _speed_solver(cfg: SpeedPlanConfig):
+    P_np, A_np, eq_mask = _speed_qp_constants(cfg)
+    n = cfg.n_t + 1
+    q_typ = np.zeros(3 * n)
+    q_typ[1::3] = -2.0 * cfg.w_qp_v_ref * cfg.reference_speed
+    return qp.make_prefactored_qp(
+        P_np, A_np, eq_mask, q_typical=q_typ,
+        iters_per_phase=max(cfg.admm_iters, 60),
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -354,9 +370,7 @@ def speed_qp(
     horizon (n_t + 1 knots at dt = t_step)."""
     n = cfg.n_t + 1
     nv = 3 * n
-    P_np, A_np = _speed_qp_constants(cfg)
-    P = jnp.asarray(P_np)
-    A = jnp.asarray(A_np)
+    solve = _speed_solver(cfg)
 
     q = jnp.zeros(nv).at[1::3].set(-2.0 * cfg.w_qp_v_ref * cfg.reference_speed)
 
@@ -378,7 +392,7 @@ def speed_qp(
     l = jnp.concatenate([jnp.zeros(n_eq), jnp.full(n_mono, -BIG), lb])
     u = jnp.concatenate([jnp.zeros(n_eq), jnp.zeros(n_mono), ub])
 
-    x = qp.solve_qp(P, q, A, l, u, iters=cfg.admm_iters)
+    x = solve(q, l, u)
     t = jnp.arange(n, dtype=jnp.float32) * cfg.t_step
     return x[0::3], x[1::3], x[2::3], t
 

@@ -152,6 +152,152 @@ def simulate(
     return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
 
 
+class TrafficCarry(NamedTuple):
+    loop: LoopCarry
+    npc_path_index: Array   # (K,) per-slot NPC match indices
+
+
+@partial(jax.jit, static_argnames=("cfg", "behavior"))
+def simulate_traffic(
+    global_path: Path,
+    ego0: EgoState,
+    obstacles0: Obstacles,
+    cfg: EMConfig,
+    behavior: str = "normal",
+) -> tuple[TrafficCarry, TickMetrics]:
+    """Closed loop with *agent-driven* NPCs instead of constant velocity.
+
+    The reference drives its moving obstacle with a vendored CARLA
+    ``BehaviorAgent`` following the same route as the ego
+    (``test_9.py:288-291,344``). Here each dynamic obstacle slot runs the
+    ``sim/npc.py`` agent (pure-pursuit on the global path + IDM
+    car-following against the ego and the other NPCs) inside the same
+    compiled loop. Static slots stay parked.
+    """
+    from emplanner_carla_tpu.sim import npc as npc_mod
+
+    lp = cfg.loop
+    preset = npc_mod.preset(behavior)
+    target_speed = jnp.asarray(lp.target_speed_kmh, jnp.float32)
+    dest_x, dest_y = global_path.x[-1], global_path.y[-1]
+    K = obstacles0.k
+    dyn_slot = jnp.arange(K) >= cfg.n_static_obs
+
+    def advance_npcs(ego, obs, npc_idx, dt):
+        speed = jnp.hypot(obs.vx, obs.vy)
+        is_agent = obs.valid & dyn_slot
+
+        def one(k):
+            st = NPCStateAt(obs, npc_idx, k)
+            others_x = jnp.concatenate([obs.x, ego.x[None]])
+            others_y = jnp.concatenate([obs.y, ego.y[None]])
+            others_v = jnp.concatenate(
+                [jnp.hypot(obs.vx, obs.vy), ego.speed[None]]
+            )
+            others_valid = (
+                jnp.concatenate([obs.valid, jnp.ones(1, bool)])
+                .at[k].set(False)  # not itself
+            )
+            gap, v_lead = npc_mod.lead_info(
+                st.ego, others_x, others_y, others_v, others_valid
+            )
+            st2 = npc_mod.npc_step(
+                st, global_path, gap, v_lead, preset, cfg.vehicle, dt
+            )
+            return st2
+
+        states = jax.vmap(one)(jnp.arange(K))
+        agent = is_agent
+        new_x = jnp.where(agent, states.ego.x, obs.x + obs.vx * dt)
+        new_y = jnp.where(agent, states.ego.y, obs.y + obs.vy * dt)
+        new_vx = jnp.where(
+            agent, states.ego.vx * jnp.cos(states.ego.phi), obs.vx
+        )
+        new_vy = jnp.where(
+            agent, states.ego.vx * jnp.sin(states.ego.phi), obs.vy
+        )
+        idx_new = jnp.where(agent, states.path_index, npc_idx)
+        return obs._replace(x=new_x, y=new_y, vx=new_vx, vy=new_vy), idx_new
+
+    def control_tick(carry, _):
+        ego, cs, obs, npc_idx, target, arrived = carry
+        vxw, vyw = ego.v_world
+        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
+        ux, uy = vxw / spd, vyw / spd
+        dxo, dyo = obs.x - ego.x, obs.y - ego.y
+        d_long = dxo * ux + dyo * uy
+        d_lat = -dxo * uy + dyo * ux
+        lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
+        d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
+        v_cap_kmh = 3.6 * jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        tick_target = jnp.minimum(target_speed, v_cap_kmh)
+        steer, throttle, brake, cs = vehicle.run_step(
+            ego, target, cs, tick_target, cfg.vehicle, cfg.control
+        )
+        arrived = arrived | (
+            jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
+        )
+        steer = jnp.where(arrived, 0.0, steer)
+        throttle = jnp.where(arrived, 0.0, throttle)
+        brake = jnp.where(arrived, 1.0, brake)
+        ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
+        obs, npc_idx = advance_npcs(ego, obs, npc_idx, cfg.plant.dt)
+        d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
+        collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
+        m = TickMetrics(
+            ego.x, ego.y, 3.6 * ego.speed, _lateral_error(ego, target),
+            ego.phi, collided, arrived,
+        )
+        return (ego, cs, obs, npc_idx, target, arrived), m
+
+    def plan_cycle(carry: TrafficCarry, _):
+        lc = carry.loop
+        res = em_planner.plan_path_cycle(
+            global_path, lc.ego, lc.obstacles, lc.match_index, cfg
+        )
+        cs = lc.ctrl.rebind()
+        (ego, cs, obs, npc_idx, _, arrived), metrics = jax.lax.scan(
+            control_tick,
+            (lc.ego, cs, lc.obstacles, carry.npc_path_index, res.target,
+             lc.arrived),
+            None,
+            length=lp.plan_every,
+        )
+        return (
+            TrafficCarry(
+                LoopCarry(ego, cs, res.match_index, obs, arrived), npc_idx
+            ),
+            metrics,
+        )
+
+    npc_idx0 = jax.vmap(
+        lambda k: frenet.nearest_index(obstacles0.x[k], obstacles0.y[k], global_path)
+    )(jnp.arange(K))
+    carry0 = TrafficCarry(
+        LoopCarry(
+            ego0,
+            vehicle.ControllerState.init(cfg.control),
+            frenet.nearest_index(ego0.x, ego0.y, global_path),
+            obstacles0,
+            jnp.zeros((), bool),
+        ),
+        npc_idx0,
+    )
+    return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
+
+
+def NPCStateAt(obs: Obstacles, npc_idx: Array, k: Array):
+    """Materialize slot k of the obstacle set as an NPCState."""
+    from emplanner_carla_tpu.sim import npc as npc_mod
+
+    speed = jnp.hypot(obs.vx[k], obs.vy[k])
+    phi = jnp.arctan2(obs.vy[k], obs.vx[k])
+    phi = jnp.where(speed > 0.1, phi, 0.0)
+    z = jnp.zeros(())
+    ego = EgoState(obs.x[k], obs.y[k], phi, speed, z, z, z, z, z)
+    return npc_mod.NPCState(ego, npc_idx[k], obs.valid[k])
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def simulate_full(
     global_path: Path,

@@ -1,0 +1,139 @@
+"""NPC traffic: behavior presets + waypoint-following agents.
+
+Rebuild of the role of the vendored CARLA agent library (``/root/reference/
+agents/navigation/``): ``BehaviorAgent`` with its cautious/normal/aggressive
+presets (``behavior_types.py:8-37``), the ``LocalPlanner`` waypoint queue +
+PID follower (``local_planner.py:208``), and ``BasicAgent``-style
+car-following (``behavior_agent.py:150-294``) — as a vectorized, fixed-shape
+agent model stepped inside the compiled loop.
+
+Each NPC follows its own reference path (typically the scenario's global
+path, laterally offset) with:
+* pure-pursuit steering toward a speed-scaled lookahead point (the
+  LocalPlanner's waypoint-queue-plus-PID role);
+* IDM-style longitudinal control against the preset's target speed,
+  safety time headway, and minimum spacing (the car-following /
+  tailgating managers' role), yielding to the ego and other NPCs.
+
+The reference drives its NPC via CARLA's vehicle plant; here NPCs use the
+same kinematic bicycle as the ego.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from emplanner_carla_tpu.config import VehicleParams
+from emplanner_carla_tpu.ops import frenet
+from emplanner_carla_tpu.types import Array, EgoState, Path
+
+
+class BehaviorPreset(NamedTuple):
+    """Mirrors the fields of ``behavior_types.py`` (Cautious/Normal/
+    Aggressive): max speed (m/s), safety time headway (s), min spacing (m),
+    comfortable accel / decel (m/s^2)."""
+
+    max_speed: Array
+    safety_time: Array
+    min_distance: Array
+    accel: Array
+    decel: Array
+
+
+def preset(name: str) -> BehaviorPreset:
+    """Cautious / normal / aggressive, scaled from ``behavior_types.py:8-37``
+    (speeds there are km/h deltas below the limit; we use absolute m/s)."""
+    table = {
+        "cautious": (30.0 / 3.6, 3.0, 12.0, 1.5, 3.0),
+        "normal": (40.0 / 3.6, 2.0, 10.0, 2.0, 4.0),
+        "aggressive": (50.0 / 3.6, 1.0, 8.0, 3.0, 5.0),
+    }
+    vals = table[name]
+    return BehaviorPreset(*(jnp.asarray(v, jnp.float32) for v in vals))
+
+
+class NPCState(NamedTuple):
+    ego: EgoState        # NPC pose/velocity reuses the EgoState layout
+    path_index: Array    # carried match index on its reference path
+    active: Array        # bool
+
+
+def idm_accel(
+    v: Array, v_lead: Array, gap: Array, p: BehaviorPreset
+) -> Array:
+    """Intelligent-Driver-Model acceleration: free-road term + interaction
+    term from the preset's headway/min-distance (the car-following manager's
+    decision logic, ``behavior_agent.py:150-199``, as a standard IDM)."""
+    s_star = p.min_distance + jnp.maximum(
+        v * p.safety_time + v * (v - v_lead) / (2.0 * jnp.sqrt(p.accel * p.decel)),
+        0.0,
+    )
+    gap = jnp.maximum(gap, 0.5)
+    return p.accel * (
+        1.0 - (v / jnp.maximum(p.max_speed, 0.1)) ** 4 - (s_star / gap) ** 2
+    )
+
+
+def npc_step(
+    state: NPCState,
+    path: Path,
+    lead_dist: Array,
+    lead_speed: Array,
+    p: BehaviorPreset,
+    vp: VehicleParams,
+    dt: float,
+) -> NPCState:
+    """One NPC tick: pure-pursuit steering + IDM accel + kinematic plant."""
+    s = state.ego
+    # match + lookahead point (LocalPlanner's queue-popping role)
+    idx = frenet.nearest_index_windowed(s.x, s.y, path, state.path_index, 32)
+    look = jnp.clip(
+        idx + 2 + (s.vx / 4.0).astype(jnp.int32), 0, path.n - 1
+    )
+    dx = path.x[look] - s.x
+    dy = path.y[look] - s.y
+    # pure pursuit: steer toward the lookahead point
+    alpha = jnp.arctan2(dy, dx) - s.phi
+    alpha = jnp.arctan2(jnp.sin(alpha), jnp.cos(alpha))
+    L = vp.a + vp.b
+    ld = jnp.maximum(jnp.hypot(dx, dy), 1.0)
+    delta = jnp.arctan2(2.0 * L * jnp.sin(alpha), ld)
+    steer = jnp.clip(delta / vp.max_steer_rad, -1.0, 1.0)
+
+    accel = idm_accel(s.vx, lead_speed, lead_dist, p)
+    accel = jnp.clip(accel, -p.decel, p.accel)
+
+    # kinematic bicycle, no actuator lag for NPCs (they are scenery)
+    v = jnp.maximum(s.vx + accel * dt, 0.0)
+    omega = v * jnp.tan(steer * vp.max_steer_rad) / L
+    phi = s.phi + omega * dt
+    x = s.x + v * jnp.cos(phi) * dt
+    y = s.y + v * jnp.sin(phi) * dt
+    z = jnp.zeros_like(v)
+    new = EgoState(x, y, phi, v, z, omega, accel * jnp.cos(phi),
+                   accel * jnp.sin(phi), steer)
+    keep = state.active
+    ego_out = jax.tree.map(lambda a, b: jnp.where(keep, a, b), new, s)
+    return NPCState(ego_out, jnp.where(keep, idx, state.path_index), state.active)
+
+
+def lead_info(
+    npc: EgoState, others_x: Array, others_y: Array, others_v: Array,
+    others_valid: Array,
+):
+    """Nearest vehicle ahead of the NPC within its lane corridor -> (gap,
+    speed). Others include the ego and the rest of the fleet."""
+    dx = others_x - npc.x
+    dy = others_y - npc.y
+    ux, uy = jnp.cos(npc.phi), jnp.sin(npc.phi)
+    d_long = dx * ux + dy * uy
+    d_lat = -dx * uy + dy * ux
+    ahead = others_valid & (d_long > 0.5) & (jnp.abs(d_lat) < 2.0)
+    gap = jnp.min(jnp.where(ahead, d_long, jnp.inf))
+    lead_idx = jnp.argmin(jnp.where(ahead, d_long, jnp.inf))
+    v = jnp.where(jnp.isfinite(gap), others_v[lead_idx], 100.0)
+    gap = jnp.where(jnp.isfinite(gap), gap, 1e4)
+    return gap, v

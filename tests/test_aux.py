@@ -1,0 +1,188 @@
+"""Aux subsystems: sensors, NPC agents, reporting, checkpoint/resume."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emplanner_carla_tpu.config import EMConfig
+from emplanner_carla_tpu.ops import frenet
+from emplanner_carla_tpu.sim import closed_loop, npc, scenario, sensors
+from emplanner_carla_tpu.types import EgoState, Obstacles
+
+CFG = EMConfig()
+
+
+def make_ego(x=0.0, y=0.0, phi=0.0, vx=10.0):
+    z = jnp.zeros(())
+    return EgoState(
+        jnp.float32(x), jnp.float32(y), jnp.float32(phi), jnp.float32(vx),
+        z, z, z, z, z,
+    )
+
+
+def make_obs(entries):
+    K = 4
+    a = np.zeros((4, K), np.float32)
+    v = np.zeros(K, bool)
+    for i, e in enumerate(entries):
+        a[:, i] = e
+        v[i] = True
+    return Obstacles(*(jnp.asarray(r) for r in a), jnp.asarray(v))
+
+
+class TestSensors:
+    def test_collision_depth(self):
+        obs = make_obs([(5.0, 0.0, 0, 0), (0.8, 0.0, 0, 0)])
+        d = sensors.collision_depth(make_ego(), obs)
+        assert float(d) == pytest.approx(1.5 - 0.8, abs=1e-5)
+
+    def test_lane_invasion(self):
+        path = frenet.path_from_xy(jnp.arange(50.0) * 2.0, jnp.zeros(50))
+        sm = frenet.arc_length(path)
+        assert not bool(sensors.lane_invasion(make_ego(y=0.5), path, sm))
+        assert bool(sensors.lane_invasion(make_ego(y=2.5), path, sm))
+
+    def test_radar_fov_and_closing(self):
+        obs = make_obs([(30.0, 0.0, -5.0, 0.0), (0.0, 40.0, 0.0, 0.0)])
+        r = sensors.radar(make_ego(vx=10.0), obs)
+        assert bool(r.valid[0])       # dead ahead, in FOV
+        assert not bool(r.valid[1])   # 90 deg off-axis, outside FOV
+        # ego at 10 m/s toward obstacle moving -5 -> closing 15 m/s
+        assert float(r.velocity[0]) == pytest.approx(15.0, abs=0.1)
+
+    def test_imu_body_frame(self):
+        ego = make_ego(phi=np.pi / 2)._replace(
+            ax=jnp.float32(0.0), ay=jnp.float32(2.0)
+        )
+        ax_b, ay_b, omega = sensors.imu(ego)
+        assert float(ax_b) == pytest.approx(2.0, abs=1e-5)
+
+    def test_gnss_noise(self):
+        x, y = sensors.gnss(make_ego(x=100.0, y=50.0))
+        assert float(x) == 100.0
+        x2, y2 = sensors.gnss(
+            make_ego(x=100.0, y=50.0), key=jax.random.PRNGKey(0), sigma=0.5
+        )
+        assert float(x2) != 100.0
+
+
+class TestNPC:
+    def test_presets_ordering(self):
+        c, n, a = npc.preset("cautious"), npc.preset("normal"), npc.preset("aggressive")
+        assert float(c.max_speed) < float(n.max_speed) < float(a.max_speed)
+        assert float(c.safety_time) > float(a.safety_time)
+
+    def test_idm_free_road_accelerates(self):
+        p = npc.preset("normal")
+        a = npc.idm_accel(jnp.float32(5.0), jnp.float32(100.0), jnp.float32(1e4), p)
+        assert float(a) > 0.5
+
+    def test_idm_brakes_behind_lead(self):
+        p = npc.preset("normal")
+        a = npc.idm_accel(jnp.float32(10.0), jnp.float32(2.0), jnp.float32(8.0), p)
+        assert float(a) < -1.0
+
+    def test_npc_follows_path(self):
+        path = frenet.path_from_xy(jnp.arange(200.0) * 2.0, jnp.zeros(200))
+        p = npc.preset("normal")
+        st = npc.NPCState(make_ego(vx=5.0), jnp.int32(0), jnp.asarray(True))
+        for _ in range(300):
+            st = npc.npc_step(
+                st, path, jnp.float32(1e4), jnp.float32(100.0), p,
+                CFG.vehicle, 0.01,
+            )
+        assert float(st.ego.x) > 15.0            # made progress
+        assert abs(float(st.ego.y)) < 0.5        # stayed on the line
+        assert float(st.ego.vx) <= float(p.max_speed) + 0.5
+
+
+class TestReportAndCheckpoint:
+    @pytest.fixture(scope="class")
+    def run(self):
+        cfg = EMConfig(
+            loop=dataclasses.replace(EMConfig().loop, n_plans=3)
+        )
+        sc = scenario.make_scenario(jax.random.PRNGKey(0), cfg)
+        carry, metrics = closed_loop.simulate(
+            sc.global_path, sc.ego0, sc.obstacles, cfg
+        )
+        return cfg, sc, carry, metrics
+
+    def test_run_report(self, run, tmp_path):
+        cfg, sc, carry, metrics = run
+        from emplanner_carla_tpu.utils import report
+
+        out = report.run_report(metrics, cfg, path=str(tmp_path / "r.json"))
+        assert out["ticks"] == cfg.loop.n_plans * cfg.loop.plan_every
+        assert out["distance_m"] > 10.0
+        assert (tmp_path / "r.json").exists()
+
+    def test_plot_run(self, run, tmp_path):
+        cfg, sc, carry, metrics = run
+        from emplanner_carla_tpu.utils import report
+
+        p = report.plot_run(metrics, sc, cfg, path=str(tmp_path / "run.png"))
+        assert (tmp_path / "run.png").stat().st_size > 10000
+
+    def test_checkpoint_roundtrip_and_resume(self, run, tmp_path):
+        cfg, sc, carry, metrics = run
+        from emplanner_carla_tpu.utils import checkpoint
+
+        path = str(tmp_path / "ckpt")
+        checkpoint.save(path, carry)
+        restored = checkpoint.restore(path, jax.tree.map(np.asarray, carry))
+        np.testing.assert_allclose(
+            np.asarray(restored.ego.x), np.asarray(carry.ego.x)
+        )
+        carry2, m2 = checkpoint.resume_simulation(
+            sc.global_path, restored, cfg, n_plans=2
+        )
+        assert bool(jnp.all(jnp.isfinite(m2.lateral_err)))
+        # the resumed run continues from the restored pose
+        d0 = np.hypot(
+            float(carry2.ego.x) - float(carry.ego.x),
+            float(carry2.ego.y) - float(carry.ego.y),
+        )
+        assert d0 > 5.0  # it moved on
+
+
+class TestTrafficLoop:
+    def test_npc_driven_closed_loop(self):
+        sc = scenario.make_scenario(jax.random.PRNGKey(0), CFG)
+        carry, m = closed_loop.simulate_traffic(
+            sc.global_path, sc.ego0, sc.obstacles, CFG
+        )
+        s = closed_loop.summarize(m)
+        assert not bool(s["collided"])
+        assert bool(np.isfinite(np.asarray(m.lateral_err)).all())
+        # the NPC slot actually drove along the route
+        i = CFG.n_static_obs
+        moved = np.hypot(
+            float(carry.loop.obstacles.x[i]) - float(sc.obstacles.x[i]),
+            float(carry.loop.obstacles.y[i]) - float(sc.obstacles.y[i]),
+        )
+        assert moved > 20.0
+        idx = frenet.nearest_index(
+            carry.loop.obstacles.x[i], carry.loop.obstacles.y[i], sc.global_path
+        )
+        off_path = float(
+            jnp.hypot(
+                sc.global_path.x[idx] - carry.loop.obstacles.x[i],
+                sc.global_path.y[idx] - carry.loop.obstacles.y[i],
+            )
+        )
+        assert off_path < 1.5
+
+    @pytest.mark.parametrize("behavior", ["cautious", "aggressive"])
+    def test_behavior_presets_run(self, behavior):
+        import dataclasses
+
+        cfg = EMConfig(loop=dataclasses.replace(EMConfig().loop, n_plans=5))
+        sc = scenario.make_scenario(jax.random.PRNGKey(1), cfg)
+        carry, m = closed_loop.simulate_traffic(
+            sc.global_path, sc.ego0, sc.obstacles, cfg, behavior=behavior
+        )
+        assert bool(np.isfinite(np.asarray(m.lateral_err)).all())
