@@ -1,9 +1,11 @@
-"""Headline benchmark: aggregate EM plan-control-step cycles/sec.
+"""Headline benchmark: aggregate FULL-EM plan-control-step cycles/sec.
 
-One "cycle" = one full EM replan (reference line -> S-L DP -> corridor ->
-piecewise-jerk QP -> Cartesian target path) plus ``plan_every`` LQR+PID
-control ticks stepping the bicycle plant — the unit the reference performs
-at an intended 10 Hz for a single ego (BASELINE.md).
+One "cycle" = one complete EM replan — reference line -> S-L path DP ->
+corridor -> piecewise-jerk QP -> S-T graph -> speed DP -> convex space ->
+speed QP -> 401-pt trajectory merge — plus ``plan_every`` LQR+PID control
+ticks stepping the bicycle plant: the unit the reference intended to run at
+10 Hz for a single ego and never achieved (its speed pipeline crashes,
+SURVEY.md §3.5/Q10; the path-only loop misses the deadline under obstacles).
 
 Prints ONE JSON line:
   {"metric": ..., "value": cycles/s, "unit": ..., "vs_baseline": value/10}
@@ -37,7 +39,7 @@ def main():
     # (batch, plans, ticks) metric tensors through the TPU tunnel, and on
     # this backend only a host transfer reliably fences the computation.
     def run(gp, e, o):
-        carry, metrics = closed_loop.simulate(gp, e, o, cfg)
+        carry, metrics = closed_loop.simulate_full(gp, e, o, cfg)
         return (
             jnp.sum(metrics.lateral_err**2),
             jnp.sum(metrics.lateral_err.astype(jnp.float32) * 0 + 1),

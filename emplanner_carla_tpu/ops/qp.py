@@ -245,55 +245,32 @@ def _solve_qp_impl(
     return x
 
 
-def make_prefactored_qp(
+def prefactor_constants(
     P_np,
     A_np,
     eq_mask_np,
     q_typical=None,
-    iters_per_phase: int = 100,
     rho_schedule=(0.1, 1.0, 6.0),
     sigma: float = 1e-6,
     rho_eq_scale: float = 1e3,
-    alpha: float = 1.6,
 ):
-    """Build a constant-matrix QP solver: min 1/2 x'Px + q'x, l <= Ax <= u.
-
-    For the planner QPs the quadratic form P and constraint matrix A are
-    *fixed* — only (q, l, u) vary per scenario. The generic ``solve_qp``
-    still equilibrates and factors per instance, which on TPU means batched
-    LU/inverse kernels (serializing, compile-heavy: the profiled closed
-    loop spent ~1 s per batched cycle there). This factory does everything
-    matrix-shaped once, in float64 NumPy at trace time:
-
-    * Ruiz equilibration of (P, A) -> D, E, c;
-    * a fixed rho schedule (instead of per-instance adaptive rho — with
-      equilibrated data a 3-phase ladder converges equivalently; validated
-      against scipy in tests/test_qp.py);
-    * (P~ + sigma I + A~' R A~)^-1 per phase.
-
-    The returned ``solve(q, l, u)`` contains only matmuls and clips —
-    MXU-friendly, vmaps to thousands of instances, and compiles in seconds.
-    Which rows are equalities is structural (continuity/pinning rows), so it
-    is passed as a static mask rather than inferred from l == u.
-    """
+    """Float64 Ruiz equilibration + per-phase factorization of a constant
+    (P, A) QP family. Returns (Pt, At, D, E, c, phases) as NumPy —
+    shared by the jnp solver below and the Pallas kernel in qp_pallas.py."""
     import numpy as np
 
     P0 = np.asarray(P_np, np.float64)
     A0 = np.asarray(A_np, np.float64)
     eq = np.asarray(eq_mask_np, bool)
     n = P0.shape[0]
-    m = A0.shape[0]
 
-    # Ruiz equilibration (matrices only; the cost scaling c uses P's norms)
     D = np.ones(n)
-    E = np.ones(m)
+    E = np.ones(A0.shape[0])
     c = 1.0
     for _ in range(15):
         Ps = c * (D[:, None] * P0 * D[None, :])
         As = E[:, None] * A0 * D[None, :]
-        col = np.maximum(
-            np.abs(Ps).max(axis=0), np.abs(As).max(axis=0)
-        )
+        col = np.maximum(np.abs(Ps).max(axis=0), np.abs(As).max(axis=0))
         D /= np.sqrt(np.maximum(col, 1e-8))
         row = np.abs(E[:, None] * A0 * D[None, :]).max(axis=1)
         E /= np.sqrt(np.maximum(row, 1e-8))
@@ -316,29 +293,82 @@ def make_prefactored_qp(
     for rho in rho_schedule:
         rho_vec = np.where(eq, rho * rho_eq_scale, rho)
         K = Pt + sigma * np.eye(n) + (At.T * rho_vec) @ At
-        phases.append((rho_vec.astype(np.float32), np.linalg.inv(K).astype(np.float32)))
+        phases.append(
+            (rho_vec.astype(np.float32), np.linalg.inv(K).astype(np.float32))
+        )
+    return (
+        Pt.astype(np.float32),
+        At.astype(np.float32),
+        D.astype(np.float32),
+        E.astype(np.float32),
+        float(c),
+        phases,
+    )
 
+
+def make_prefactored_qp(
+    P_np,
+    A_np,
+    eq_mask_np,
+    q_typical=None,
+    iters_per_phase: int = 100,
+    rho_schedule=(0.1, 1.0, 6.0),
+    sigma: float = 1e-6,
+    rho_eq_scale: float = 1e3,
+    alpha: float = 1.6,
+    use_pallas: bool = False,
+    pallas_block: int = 128,
+    pallas_interpret: bool = False,
+):
+    """Build a constant-matrix QP solver: min 1/2 x'Px + q'x, l <= Ax <= u.
+
+    For the planner QPs the quadratic form P and constraint matrix A are
+    *fixed* — only (q, l, u) vary per scenario. The generic ``solve_qp``
+    still equilibrates and factors per instance, which on TPU means batched
+    LU/inverse kernels (serializing, compile-heavy: the profiled closed
+    loop spent ~1 s per batched cycle there). Here everything matrix-shaped
+    happens once in float64 NumPy at trace time; the returned
+    ``solve(q, l, u)`` contains only matmuls and clips.
+
+    With ``use_pallas=True`` the returned solver instead expects *batched*
+    inputs (B, n)/(B, m) and runs the fused VMEM-resident kernel of
+    qp_pallas.py (B must be a multiple of ``pallas_block``).
+    """
+    import numpy as np
+
+    Pt, At, D, E, c, phases = prefactor_constants(
+        P_np, A_np, eq_mask_np, q_typical, rho_schedule, sigma, rho_eq_scale
+    )
+
+    if use_pallas:
+        from emplanner_carla_tpu.ops import qp_pallas
+
+        return qp_pallas.make_pallas_qp(
+            Pt, At, D, E, c, phases, iters_per_phase,
+            sigma=sigma, alpha=alpha, block=pallas_block,
+            interpret=pallas_interpret,
+        )
+
+    n = Pt.shape[0]
+    m = At.shape[0]
     # keep factory outputs as NumPy: the factory result is memoized by the
     # callers' lru_caches, and jnp constants created inside a jit trace
     # would leak tracers into later traces
-    Pt_np = Pt.astype(np.float32)
-    At_np = At.astype(np.float32)
-    D_np = D.astype(np.float32)
-    E_np = E.astype(np.float32)
-    c_np = np.float32(c)
+    At_np_c = At
+    D_np_c = D
+    E_np_c = E
+    c_np_c = np.float32(c)
 
     def solve(q: Array, l: Array, u: Array) -> Array:
         with jax.default_matmul_precision("highest"):
             return _solve(q, l, u)
 
     def _solve(q: Array, l: Array, u: Array) -> Array:
-        At32 = jnp.asarray(At_np)
-        D32 = jnp.asarray(D_np)
-        E32 = jnp.asarray(E_np)
-        c32 = jnp.float32(c_np)
-        phase_consts = [
-            (jnp.asarray(rv), jnp.asarray(Ki)) for rv, Ki in phases
-        ]
+        At32 = jnp.asarray(At_np_c)
+        D32 = jnp.asarray(D_np_c)
+        E32 = jnp.asarray(E_np_c)
+        c32 = jnp.float32(c_np_c)
+        phase_consts = [(jnp.asarray(rv), jnp.asarray(Ki)) for rv, Ki in phases]
         qs = c32 * (D32 * q)
         ls = E32 * l
         us = E32 * u

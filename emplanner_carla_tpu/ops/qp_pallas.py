@@ -1,0 +1,183 @@
+"""Pallas TPU kernel: fused batched ADMM for constant-matrix QPs.
+
+The prefactored ADMM of ``ops/qp.make_prefactored_qp`` runs its iterations
+as ~360 separate XLA ops over (B, n)/(B, m) arrays: every iteration streams
+the iterate state and the constant matrices through HBM. This kernel fuses
+the *entire* solve — all rho phases, all iterations — into one
+``pallas_call``:
+
+* the grid tiles the batch; each program block holds a (BLOCK, ·) slab of
+  instances;
+* the constant matrices (A~, Kinv per phase) are loaded into VMEM once per
+  block and reused across every iteration;
+* the iterate state (x, z, y) lives in VMEM scratch for the whole solve —
+  zero HBM traffic between iterations;
+* all matmuls run on the MXU with float32 accumulation.
+
+Shapes are padded to MXU-friendly multiples of (8, 128) at factory time:
+padded constraint rows have zero A-rows and +-inf bounds (their z, y stay
+0); padded variables get an identity Kinv block and zero q (their x stays
+0). Padding is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from emplanner_carla_tpu.types import Array
+
+BIG = 1e8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_pallas_qp(
+    Pt: np.ndarray,
+    At: np.ndarray,
+    D: np.ndarray,
+    E: np.ndarray,
+    c: float,
+    phases: list[tuple[np.ndarray, np.ndarray]],
+    iters_per_phase: int,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    block: int = 128,
+    interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Build the fused solver from already-equilibrated constants.
+
+    Pt/At: scaled quadratic/constraint matrices (n, n)/(m, n); D, E, c: the
+    Ruiz scalings; phases: [(rho_vec (m,), Kinv (n, n)), ...]. Returns
+    ``solve(q, l, u)`` operating on a *batch*: q (B, n), l/u (B, m) ->
+    x (B, n). B must be a multiple of ``block``.
+    """
+    n = Pt.shape[0]
+    m = At.shape[0]
+    n_pad = _round_up(n, 128)
+    m_pad = _round_up(m, 128)
+    n_phases = len(phases)
+
+    A_p = np.zeros((m_pad, n_pad), np.float32)
+    A_p[:m, :n] = At
+    Kinv_p = np.zeros((n_phases, n_pad, n_pad), np.float32)
+    rho_p = np.ones((n_phases, m_pad), np.float32)
+    for i, (rho_vec, Kinv) in enumerate(phases):
+        Kinv_p[i, :n, :n] = Kinv
+        Kinv_p[i, n:, n:] = np.eye(n_pad - n)  # inert identity block
+        rho_p[i, :m] = rho_vec
+    D_p = np.zeros(n_pad, np.float32)
+    D_p[:n] = D
+    E_p = np.ones(m_pad, np.float32)
+    E_p[:m] = E
+
+    AT_p = A_p.T.copy()  # (n_pad, m_pad)
+
+    blk = block
+
+    def kernel(q_ref, l_ref, u_ref, A_ref, AT_ref, Kinv_ref, rho_ref,
+               x_out, x_s, z_s, y_s):
+        qs = q_ref[:]                      # (block, n_pad) pre-scaled
+        ls = l_ref[:]                      # (block, m_pad)
+        us = u_ref[:]
+        x_s[:] = jnp.zeros((blk, n_pad), jnp.float32)
+        z_s[:] = jnp.clip(jnp.zeros((blk, m_pad), jnp.float32), ls, us)
+        y_s[:] = jnp.zeros((blk, m_pad), jnp.float32)
+
+        for ph in range(n_phases):
+            rho = rho_ref[ph : ph + 1, :]      # (1, m_pad) — keep 2-D for Mosaic
+            rho_inv = 1.0 / rho
+            Kinv_T = Kinv_ref[ph].T            # (n_pad, n_pad)
+
+            def body(_, carry, rho=rho, rho_inv=rho_inv, Kinv_T=Kinv_T):
+                # carry unused; state lives in VMEM scratch for the whole solve
+                x = x_s[:]
+                z = z_s[:]
+                y = y_s[:]
+                # full f32 multiplies: the MXU's default bf16 passes make
+                # the ADMM iteration diverge (same failure mode as the XLA
+                # path before default_matmul_precision("highest"))
+                hp = precision
+                rhs = sigma * x - qs + jnp.dot(
+                    rho * z - y, A_ref[:],
+                    preferred_element_type=jnp.float32, precision=hp,
+                )
+                x = jnp.dot(
+                    rhs, Kinv_T, preferred_element_type=jnp.float32, precision=hp
+                )
+                Ax = jnp.dot(
+                    x, AT_ref[:], preferred_element_type=jnp.float32, precision=hp
+                )
+                Ax_rel = alpha * Ax + (1.0 - alpha) * z
+                z_new = jnp.clip(Ax_rel + y * rho_inv, ls, us)
+                y_s[:] = y + rho * (Ax_rel - z_new)
+                x_s[:] = x
+                z_s[:] = z_new
+                return 0
+
+            jax.lax.fori_loop(0, iters_per_phase, body, 0)
+
+        x_out[:] = x_s[:]
+
+    A_c = jnp.asarray(A_p)
+    AT_c = jnp.asarray(AT_p)
+    Kinv_c = jnp.asarray(Kinv_p)
+    rho_c = jnp.asarray(rho_p)
+    D_c = jnp.asarray(D_p)
+    E_c = jnp.asarray(E_p)
+    c_c = jnp.float32(c)
+
+    def solve(q: Array, l: Array, u: Array) -> Array:
+        B = q.shape[0]
+        assert B % block == 0, f"batch {B} not a multiple of block {block}"
+        # scale + pad per-instance data
+        q_s = jnp.zeros((B, n_pad), jnp.float32).at[:, :n].set(
+            c_c * (D_c[:n] * q)
+        )
+        l_s = jnp.full((B, m_pad), -BIG, jnp.float32).at[:, :m].set(
+            E_c[:m] * l
+        )
+        u_s = jnp.full((B, m_pad), BIG, jnp.float32).at[:, :m].set(
+            E_c[:m] * u
+        )
+
+        x_pad = pl.pallas_call(
+            kernel,
+            grid=(B // block,),
+            in_specs=[
+                pl.BlockSpec((block, n_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, m_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, m_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_pad, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, m_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_phases, n_pad, n_pad), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_phases, m_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block, n_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((block, n_pad), jnp.float32),
+                pltpu.VMEM((block, m_pad), jnp.float32),
+                pltpu.VMEM((block, m_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q_s, l_s, u_s, A_c, AT_c, Kinv_c, rho_c)
+        return D_c[None, :n] * x_pad[:, :n]
+
+    return solve

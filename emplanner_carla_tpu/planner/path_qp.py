@@ -171,7 +171,7 @@ def _solver_for(n: int, ds: float, cfg: PathPlanConfig):
     q_typ[0::3] = -2.0 * cfg.w_qp_centre * 2.0  # centre offsets ~ 2 m
     solve = qp.make_prefactored_qp(
         P_np, A_np, eq_mask, q_typical=q_typ,
-        iters_per_phase=max(cfg.admm_iters, 60),
+        iters_per_phase=max(2 * cfg.admm_iters // 3, 60),
     )
     return solve, front_index, back_index
 

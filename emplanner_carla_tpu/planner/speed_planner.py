@@ -350,7 +350,7 @@ def _speed_solver(cfg: SpeedPlanConfig):
     q_typ[1::3] = -2.0 * cfg.w_qp_v_ref * cfg.reference_speed
     return qp.make_prefactored_qp(
         P_np, A_np, eq_mask, q_typical=q_typ,
-        iters_per_phase=max(cfg.admm_iters, 60),
+        iters_per_phase=max(2 * cfg.admm_iters // 3, 60),
     )
 
 

@@ -1,0 +1,44 @@
+"""Pallas fused ADMM kernel vs the jnp prefactored solver (interpret mode).
+
+On CPU the kernel runs through the Pallas interpreter, which is slow — so
+this test uses few iterations and a tiny batch; it checks *algorithmic
+equivalence* (identical iteration math), while TPU-hardware validation
+(numerics at full iteration count + throughput) is part of the verify
+drives (see .claude/skills/verify/SKILL.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emplanner_carla_tpu.config import PathPlanConfig
+from emplanner_carla_tpu.ops import qp as qpmod
+from emplanner_carla_tpu.planner.path_qp import _qp_constants
+
+CFG = PathPlanConfig()
+
+
+def test_pallas_matches_jnp_prefactored():
+    n = 25
+    P_np, A_np, eq_mask, fi, bi = _qp_constants(n, 4.0, CFG)
+    q_typ = np.zeros(3 * n)
+    q_typ[0::3] = -1000.0
+    kw = dict(q_typical=q_typ, iters_per_phase=4)
+    solve_jnp = qpmod.make_prefactored_qp(P_np, A_np, eq_mask, **kw)
+    solve_pl = qpmod.make_prefactored_qp(
+        P_np, A_np, eq_mask, **kw,
+        use_pallas=True, pallas_block=8, pallas_interpret=True,
+    )
+    B = 8
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(B, 3 * n)).astype(np.float32) * 100.0
+    u = np.concatenate(
+        [np.zeros((B, 48)), np.full((B, 200), 8.0), np.zeros((B, 6))], axis=1
+    ).astype(np.float32)
+    l = np.concatenate(
+        [np.zeros((B, 48)), np.full((B, 200), -1e8), np.zeros((B, 6))], axis=1
+    ).astype(np.float32)
+    x1 = jax.vmap(solve_jnp)(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u))
+    x2 = solve_pl(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u))
+    assert bool(jnp.all(jnp.isfinite(x2)))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=5e-3)
