@@ -1,0 +1,122 @@
+"""Per-config benchmark table (BASELINE.json's five configs).
+
+`bench.py` is the driver-run single-line headline (config 5). This script
+reports all five configurations for the judge's parity table; each line is
+one JSON object.
+
+Run on the TPU:  python bench_all.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def timed(f, *args, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        _sync(out[0] if isinstance(out, tuple) else out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/emplanner_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from emplanner_carla_tpu.config import EMConfig
+    from emplanner_carla_tpu.planner import em_planner, speed_planner
+    from emplanner_carla_tpu.sim import closed_loop, scenario
+    from emplanner_carla_tpu.types import STSegments
+
+    cfg = EMConfig()
+    B = 4096
+    scs = scenario.batch_scenarios(jax.random.PRNGKey(1), B, cfg)
+    results = []
+
+    # --- config 1: standalone S-T DP+QP solve on a fixed obstacle set ---
+    K = 4
+    seg = STSegments(
+        jnp.tile(jnp.asarray([20.0, 35.0, 0, 0]), (B, 1))[:, :K],
+        jnp.tile(jnp.asarray([25.0, 38.0, 0, 0]), (B, 1))[:, :K],
+        jnp.tile(jnp.asarray([2.0, 4.0, 0, 0]), (B, 1))[:, :K],
+        jnp.tile(jnp.asarray([5.0, 6.5, 0, 0]), (B, 1))[:, :K],
+        jnp.tile(jnp.asarray([True, True, False, False]), (B, 1)),
+    )
+
+    def st_solve(seg_row, v0):
+        dp = speed_planner.speed_dp(seg_row, v0, cfg.speed)
+        s_lb, s_ub, sd_lb, sd_ub = speed_planner.convex_space(
+            dp, seg_row, jnp.linspace(0, 120.0, 60), jnp.full(60, 1e-3),
+            cfg.speed,
+        )
+        qs, qv, qa, qt = speed_planner.speed_qp(
+            v0, jnp.float32(0.0), s_lb, s_ub, sd_lb, sd_ub, cfg.speed
+        )
+        return qs
+
+    f1 = jax.jit(jax.vmap(st_solve, in_axes=(0, 0)))
+    v0s = jnp.full(B, 10.0)
+    t = timed(f1, seg, v0s)
+    results.append({"config": "1_st_dp_qp_solve", "value": round(B / t, 1),
+                    "unit": "solves/s"})
+
+    # --- config 2: open-loop S-L DP+QP path plan ---
+    mi = jnp.zeros(B, jnp.int32)
+    f2 = jax.jit(jax.vmap(
+        lambda g, e, o, m: em_planner.plan_path_cycle(g, e, o, m, cfg).target.x
+    ))
+    t = timed(f2, scs.global_path, scs.ego0, scs.obstacles, mi)
+    results.append({"config": "2_open_loop_path_plan", "value": round(B / t, 1),
+                    "unit": "plans/s"})
+
+    # --- config 3: closed-loop path + LQR + kinematic ---
+    f3 = jax.jit(jax.vmap(
+        lambda g, e, o: closed_loop.simulate(g, e, o, cfg)[1].lateral_err
+    ))
+    t = timed(f3, scs.global_path, scs.ego0, scs.obstacles)
+    results.append({"config": "3_closed_loop_path", "value": round(B * cfg.loop.n_plans / t, 1),
+                    "unit": "cycles/s"})
+
+    # --- config 4: full EM + MPC + dynamic bicycle ---
+    import dataclasses
+
+    cfg4 = EMConfig(
+        control=dataclasses.replace(cfg.control, kind="MPC"),
+        plant=dataclasses.replace(cfg.plant, kind="dynamic"),
+    )
+    f4 = jax.jit(jax.vmap(
+        lambda g, e, o: closed_loop.simulate_full(g, e, o, cfg4)[1].lateral_err
+    ))
+    t = timed(f4, scs.global_path, scs.ego0, scs.obstacles)
+    results.append({"config": "4_full_em_mpc_dynamic", "value": round(B * cfg.loop.n_plans / t, 1),
+                    "unit": "cycles/s"})
+
+    # --- config 5: batched fleet, full EM (the bench.py headline) ---
+    f5 = jax.jit(jax.vmap(
+        lambda g, e, o: closed_loop.simulate_full(g, e, o, cfg)[1].lateral_err
+    ))
+    t = timed(f5, scs.global_path, scs.ego0, scs.obstacles)
+    results.append({"config": "5_fleet_full_em", "value": round(B * cfg.loop.n_plans / t, 1),
+                    "unit": "cycles/s"})
+
+    for r in results:
+        r["batch"] = B
+        r["chips"] = 1
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,9 @@ class PathPlanConfig:
     host_d1: float = 3.0
     host_d2: float = 3.0
     host_w: float = 3.0
+    # quadratic penalty on the per-station corridor slack (soft constraints;
+    # the reference's hard corridor goes infeasible mid-avoidance)
+    w_slack: float = 1e4
     # DP path is downsampled ::2 before the QP (test_9.py:187-188): with
     # cols*sample_s = 90 m enriched at 2 m this yields n_qp stations.
     qp_downsample: int = 2

@@ -137,10 +137,12 @@ def path_qp_scipy(
     l_min, l_max, start_l, start_dl, start_ddl, ds,
     w_l=1000.0, w_dl=10000.0, w_ddl=3000.0, w_dddl=150.0, w_centre=250.0,
     w_end_l=40.0, w_end_dl=40.0, w_end_ddl=40.0,
-    d1=3.0, d2=3.0, host_w=3.0,
+    d1=3.0, d2=3.0, host_w=3.0, w_slack=1e4,
 ):
-    """Reference-quality solution of the piecewise-jerk path QP via scipy
-    SLSQP (intended math: true ds, active dl cost)."""
+    """Float64 solution of the piecewise-jerk path QP via scipy trust-constr
+    (intended math: true ds, active dl cost, soft corridor with penalized
+    per-station slacks matching planner/path_qp.py — the hard-constrained
+    variant goes infeasible mid-avoidance)."""
     from scipy.optimize import minimize
 
     n = len(l_min)
@@ -203,18 +205,37 @@ def path_qp_scipy(
     A_in = np.array(rows_in)
     b_in = np.array(b_in)
 
-    from scipy.optimize import LinearConstraint
+    # soft corridor: widen to [x; slack], corner rows get -slack_i, slack >= 0
+    n_total = nv + n
+    P2 = np.zeros((n_total, n_total))
+    P2[:nv, :nv] = P
+    for i in range(n):
+        P2[nv + i, nv + i] = 2.0 * w_slack
+    q2 = np.concatenate([q, np.zeros(n)])
+    A_eq2 = np.zeros((A_eq.shape[0], n_total))
+    A_eq2[:, :nv] = A_eq
+    A_in2 = np.zeros((A_in.shape[0], n_total))
+    A_in2[:, :nv] = A_in
+    for i in range(n):
+        A_in2[8 * i : 8 * i + 8, nv + i] = -1.0
+    bounds = [(None, None)] * nv + [(0.0, None)] * n
+
+    from scipy.optimize import Bounds, LinearConstraint
 
     res = minimize(
-        lambda x: 0.5 * x @ P @ x + q @ x,
-        np.zeros(nv),
-        jac=lambda x: P @ x + q,
-        hess=lambda x: P,
+        lambda x: 0.5 * x @ P2 @ x + q2 @ x,
+        np.zeros(n_total),
+        jac=lambda x: P2 @ x + q2,
+        hess=lambda x: P2,
         constraints=[
-            LinearConstraint(A_eq, b_eq, b_eq),
-            LinearConstraint(A_in, -np.inf, b_in),
+            LinearConstraint(A_eq2, b_eq, b_eq),
+            LinearConstraint(A_in2, -np.inf, b_in),
         ],
+        bounds=Bounds(
+            np.array([-np.inf] * nv + [0.0] * n),
+            np.array([np.inf] * n_total),
+        ),
         method="trust-constr",
-        options={"maxiter": 800, "gtol": 1e-10, "xtol": 1e-12},
+        options={"maxiter": 1000, "gtol": 1e-10, "xtol": 1e-12},
     )
-    return res.x[0::3], res.x[1::3], res.x[2::3], res.status in (1, 2)
+    return res.x[0:nv:3], res.x[1:nv:3], res.x[2:nv:3], res.status in (1, 2)

@@ -95,7 +95,19 @@ def corridor(
 
 
 def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
-    """Constant P and A for the piecewise-jerk QP over x = [l, dl, ddl] x n."""
+    """Constant P and A for the piecewise-jerk QP.
+
+    Variables: x = [l, dl, ddl] x n stations followed by n corridor slacks.
+    The corner constraints are *soft*: row r of station i reads
+    (l +- d dl) - slack_i <= b_r, slack_i >= 0, with a quadratic penalty on
+    slack. The reference's hard corridor (path_planning.py:115-142 + cvxopt)
+    goes infeasible mid-avoidance whenever the pinned start state conflicts
+    with the obstacle bounds — cvxopt then returns an unconverged iterate
+    that the reference never checks; observed here as solver-dependent
+    ~1 m path scatter. Softening makes the QP always feasible and strictly
+    convex (unique optimum), which also makes the float64-oracle fidelity
+    comparison well-posed.
+    """
     nv = 3 * n
 
     # Hessian (path_planning.py:169-197, with Q14 fixed)
@@ -123,9 +135,21 @@ def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
         Aeq[2 * i, 3 * i : 3 * i + 6] = [1, ds, ds**2 / 3, -1, 0, ds**2 / 6]
         Aeq[2 * i + 1, 3 * i : 3 * i + 6] = [0, 1, ds / 2, 0, -1, ds / 2]
 
-    # corner inequalities, 8 per station (path_planning.py:115-142)
+    n_total = nv + n  # + corridor slacks
+
+    def widen(M):
+        out = np.zeros((M.shape[0], n_total))
+        out[:, :nv] = M
+        return out
+
+    P = widen(widen(P).T)
+    for i in range(n):
+        P[nv + i, nv + i] = 2.0 * cfg.w_slack
+    Aeq = widen(Aeq)
+
+    # corner inequalities, 8 per station (path_planning.py:115-142), softened
     d1, d2 = cfg.host_d1, cfg.host_d2
-    A_in = np.zeros((8 * n, nv))
+    A_in = np.zeros((8 * n, n_total))
     A_sub = np.array(
         [
             [1, d1, 0],
@@ -140,18 +164,24 @@ def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
     )
     for i in range(n):
         A_in[8 * i : 8 * i + 8, 3 * i : 3 * i + 3] = A_sub
+        A_in[8 * i : 8 * i + 8, nv + i] = -1.0  # shared slack per station
 
     # endpoint pinning rows (start state + zero end state,
     # path_planning.py:144-160) as equality rows on the first/last blocks
-    A_pin = np.zeros((6, nv))
+    A_pin = np.zeros((6, n_total))
     for k in range(3):
         A_pin[k, k] = 1.0
         A_pin[3 + k, nv - 3 + k] = 1.0
 
-    A = np.concatenate([Aeq, A_in, A_pin])
+    # slack non-negativity rows
+    A_sl = np.zeros((n, n_total))
+    for i in range(n):
+        A_sl[i, nv + i] = 1.0
+
+    A = np.concatenate([Aeq, A_in, A_pin, A_sl])
     eq_mask = np.zeros(A.shape[0], bool)
-    eq_mask[: 2 * (n - 1)] = True      # continuity rows
-    eq_mask[-6:] = True                # start/end pinning rows
+    eq_mask[: 2 * (n - 1)] = True                  # continuity rows
+    eq_mask[2 * (n - 1) + 8 * n : 2 * (n - 1) + 8 * n + 6] = True  # pins
     front_index = int(np.ceil(d1 / ds))
     back_index = int(np.ceil(d2 / ds))
     return (
@@ -167,8 +197,8 @@ def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
 def _solver_for(n: int, ds: float, cfg: PathPlanConfig):
     """Prefactored constant-matrix solver for this (n, ds, cfg) family."""
     P_np, A_np, eq_mask, front_index, back_index = _qp_constants(n, ds, cfg)
-    q_typ = np.zeros(3 * n)
-    q_typ[0::3] = -2.0 * cfg.w_qp_centre * 2.0  # centre offsets ~ 2 m
+    q_typ = np.zeros(3 * n + n)  # [l, dl, ddl] x n + corridor slacks
+    q_typ[0 : 3 * n : 3] = -2.0 * cfg.w_qp_centre * 2.0  # centre offsets ~ 2 m
     solve = qp.make_prefactored_qp(
         P_np, A_np, eq_mask, q_typical=q_typ,
         iters_per_phase=max(2 * cfg.admm_iters // 3, 60),
@@ -200,7 +230,7 @@ def path_qp(
 
     # linear cost: centre-line attraction (path_planning.py:198-205)
     centre = 0.5 * (l_min + l_max)
-    q = jnp.zeros(nv).at[0::3].set(-2.0 * cfg.w_qp_centre * centre)
+    q = jnp.zeros(nv + n).at[0 : nv : 3].set(-2.0 * cfg.w_qp_centre * centre)
 
     # corner bounds: the front/rear lookahead station indices
     # (path_planning.py:127-142)
@@ -225,11 +255,12 @@ def path_qp(
     start = jnp.stack([plan_start_l, plan_start_dl, plan_start_ddl])
     end = jnp.zeros(3)
     u = jnp.concatenate(
-        [jnp.zeros(2 * (n - 1)), b_sub, start, end]
+        [jnp.zeros(2 * (n - 1)), b_sub, start, end, jnp.full(n, BIG)]
     )
     l = jnp.concatenate(
-        [jnp.zeros(2 * (n - 1)), jnp.full(8 * n, -BIG), start, end]
+        [jnp.zeros(2 * (n - 1)), jnp.full(8 * n, -BIG), start, end,
+         jnp.zeros(n)]
     )
 
     x = solve(q, l, u)
-    return x[0::3], x[1::3], x[2::3]
+    return x[0:nv:3], x[1:nv:3], x[2:nv:3]

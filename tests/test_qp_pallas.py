@@ -21,8 +21,10 @@ CFG = PathPlanConfig()
 def test_pallas_matches_jnp_prefactored():
     n = 25
     P_np, A_np, eq_mask, fi, bi = _qp_constants(n, 4.0, CFG)
-    q_typ = np.zeros(3 * n)
-    q_typ[0::3] = -1000.0
+    nv = A_np.shape[1]   # 3n + n slacks
+    m = A_np.shape[0]
+    q_typ = np.zeros(nv)
+    q_typ[0 : 3 * n : 3] = -1000.0
     kw = dict(q_typical=q_typ, iters_per_phase=4)
     solve_jnp = qpmod.make_prefactored_qp(P_np, A_np, eq_mask, **kw)
     solve_pl = qpmod.make_prefactored_qp(
@@ -31,12 +33,14 @@ def test_pallas_matches_jnp_prefactored():
     )
     B = 8
     rng = np.random.default_rng(3)
-    q = rng.normal(size=(B, 3 * n)).astype(np.float32) * 100.0
+    q = rng.normal(size=(B, nv)).astype(np.float32) * 100.0
     u = np.concatenate(
-        [np.zeros((B, 48)), np.full((B, 200), 8.0), np.zeros((B, 6))], axis=1
+        [np.zeros((B, 48)), np.full((B, 200), 8.0), np.zeros((B, 6)),
+         np.full((B, n), 1e8)], axis=1
     ).astype(np.float32)
     l = np.concatenate(
-        [np.zeros((B, 48)), np.full((B, 200), -1e8), np.zeros((B, 6))], axis=1
+        [np.zeros((B, 48)), np.full((B, 200), -1e8), np.zeros((B, 6)),
+         np.zeros((B, n))], axis=1
     ).astype(np.float32)
     x1 = jax.vmap(solve_jnp)(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u))
     x2 = solve_pl(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u))
