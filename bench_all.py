@@ -72,6 +72,7 @@ def main():
     t = timed(f1, seg, v0s)
     results.append({"config": "1_st_dp_qp_solve", "value": round(B / t, 1),
                     "unit": "solves/s"})
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
     # --- config 2: open-loop S-L DP+QP path plan ---
     mi = jnp.zeros(B, jnp.int32)
@@ -81,6 +82,7 @@ def main():
     t = timed(f2, scs.global_path, scs.ego0, scs.obstacles, mi)
     results.append({"config": "2_open_loop_path_plan", "value": round(B / t, 1),
                     "unit": "plans/s"})
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
     # --- config 3: closed-loop path + LQR + kinematic ---
     f3 = jax.jit(jax.vmap(
@@ -89,6 +91,7 @@ def main():
     t = timed(f3, scs.global_path, scs.ego0, scs.obstacles)
     results.append({"config": "3_closed_loop_path", "value": round(B * cfg.loop.n_plans / t, 1),
                     "unit": "cycles/s"})
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
     # --- config 4: full EM + MPC + dynamic bicycle ---
     import dataclasses
@@ -103,6 +106,7 @@ def main():
     t = timed(f4, scs.global_path, scs.ego0, scs.obstacles)
     results.append({"config": "4_full_em_mpc_dynamic", "value": round(B * cfg.loop.n_plans / t, 1),
                     "unit": "cycles/s"})
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
     # --- config 5: batched fleet, full EM (the bench.py headline) ---
     f5 = jax.jit(jax.vmap(
@@ -111,11 +115,7 @@ def main():
     t = timed(f5, scs.global_path, scs.ego0, scs.obstacles)
     results.append({"config": "5_fleet_full_em", "value": round(B * cfg.loop.n_plans / t, 1),
                     "unit": "cycles/s"})
-
-    for r in results:
-        r["batch"] = B
-        r["chips"] = 1
-        print(json.dumps(r))
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
 
 if __name__ == "__main__":

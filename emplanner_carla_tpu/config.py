@@ -240,6 +240,19 @@ class ControlConfig:
     steer_limit: float = 1.0
 
 
+def mpc_feedforward_variant(base: "ControlConfig" = None) -> "ControlConfig":
+    """The reference's experimental ``Lateral_MPC__with_feedforward_controller``
+    (``controller.py:727-990``): N=4, P=2, Q=diag(200,1,1,1), F=10I. Its
+    structural difference from the main MPC — the affine Cc feedforward term
+    in the cost — is already part of control/lateral.mpc_steer, so the
+    variant is purely a weight preset."""
+    base = base or ControlConfig()
+    return dataclasses.replace(
+        base, kind="MPC", mpc_n=4,
+        mpc_q=(200.0, 1.0, 1.0, 1.0), mpc_f=(10.0, 10.0, 10.0, 10.0),
+    )
+
+
 @dataclass(frozen=True)
 class PlantConfig:
     """Simulated plant replacing CARLA (SURVEY §2.4).

@@ -226,6 +226,93 @@ def lqr_steer(
     return steer, idx
 
 
+@lru_cache(maxsize=None)
+def mpc_tables(
+    vp: VehicleParams, cfg: ControlConfig, n: int = 64, v_max: float = 30.0,
+    rho: float = 1.0,
+):
+    """Trace-time MPC condensed-matrix tables over a Vx grid.
+
+    Everything in the condensed MPC except the error vector and curvature
+    depends only on Vx: H = C'Q_bar C + R_bar, the error map G1 = C'Q_bar M,
+    and (since Cc is linear in kappa·Vx·T(Vx)C) the feedforward map
+    g2 = C'Q_bar Cc_unit with Cc_unit built at kappa = 1. Building them
+    per control tick (``controller.py:253-311``) inside a 4096-wide
+    100-tick scan is what made the MPC fleet config crash the TPU worker;
+    the tables reduce a tick to three lerped gathers + a 12-var box ADMM
+    with a prefactored inverse.
+
+    Returns NumPy: (vx_grid (n,), Minv (n,u,u) = inv(2H + rho I),
+    G1 (n,u,4), g2 (n,u)) with u = mpc_n * mpc_p.
+    """
+    import numpy as np
+
+    N, P_w, nx = cfg.mpc_n, cfg.mpc_p, 4
+    nu = N * P_w
+    a, b, cf, cr, m, iz = vp.a, vp.b, vp.cf, vp.cr, vp.mass, vp.iz
+    ts = cfg.ts_discretize
+    Q = np.diag(cfg.mpc_q)
+    F = np.diag(cfg.mpc_f)
+    Qbar = np.zeros(((N + 1) * nx, (N + 1) * nx))
+    for i in range(N):
+        Qbar[i * nx : (i + 1) * nx, i * nx : (i + 1) * nx] = Q
+    Qbar[N * nx :, N * nx :] = F
+    Rbar = np.eye(nu) * cfg.mpc_r
+
+    vx_grid = np.linspace(cfg.min_vx, v_max, n)
+    Minv_t = np.zeros((n, nu, nu))
+    G1_t = np.zeros((n, nu, nx))
+    g2_t = np.zeros((n, nu))
+    for gi, vx in enumerate(vx_grid):
+        A = np.zeros((4, 4))
+        A[0, 1] = 1.0
+        A[1, 1] = (cf + cr) / (m * vx)
+        A[1, 2] = -(cf + cr) / m
+        A[1, 3] = (a * cf - b * cr) / (m * vx)
+        A[2, 3] = 1.0
+        A[3, 1] = (a * cf - b * cr) / (iz * vx)
+        A[3, 2] = -(a * cf - b * cr) / iz
+        A[3, 3] = (a * a * cf + b * b * cr) / (iz * vx)
+        B = np.zeros((4, 1))
+        B[1, 0] = -cf / m
+        B[3, 0] = -a * cf / iz
+        Cv = np.zeros((4, 1))
+        Cv[1, 0] = (a * cf + b * cr) / (m * vx) - vx
+        Cv[3, 0] = (a * a * cf + b * b * cr) / (iz * vx)
+        T = np.linalg.inv(np.eye(4) - 0.5 * ts * A)
+        Ad = T @ (np.eye(4) + 0.5 * ts * A)
+        Bd = T @ B * ts
+        Cd_unit = T @ Cv * ts * vx  # kappa = 1
+
+        M = np.zeros(((N + 1) * nx, nx))
+        M[0:nx] = np.eye(nx)
+        for i in range(1, N + 1):
+            M[i * nx : (i + 1) * nx] = Ad @ M[(i - 1) * nx : i * nx]
+        Cc = np.zeros(((N + 1) * nx, 1))
+        for i in range(1, N + 1):
+            Cc[i * nx : (i + 1) * nx] = Ad @ Cc[(i - 1) * nx : i * nx] + Cd_unit
+        Bp = np.tile(Bd, (1, P_w))
+        Cmat = np.zeros(((N + 1) * nx, nu))
+        pow_rows = [Bp]
+        for _ in range(N - 1):
+            pow_rows.append(Ad @ pow_rows[-1])
+        for i in range(1, N + 1):
+            for j in range(i):
+                Cmat[i * nx : (i + 1) * nx, j * P_w : (j + 1) * P_w] = pow_rows[
+                    i - 1 - j
+                ]
+        H = Cmat.T @ Qbar @ Cmat + Rbar
+        Minv_t[gi] = np.linalg.inv(2.0 * H + rho * np.eye(nu))
+        G1_t[gi] = Cmat.T @ Qbar @ M
+        g2_t[gi] = (Cmat.T @ Qbar @ Cc)[:, 0]
+    return (
+        vx_grid.astype(np.float32),
+        Minv_t.astype(np.float32),
+        G1_t.astype(np.float32),
+        g2_t.astype(np.float32),
+    )
+
+
 def mpc_steer(
     s: EgoState,
     target: Path,
@@ -233,12 +320,63 @@ def mpc_steer(
     vp: VehicleParams,
     cfg: ControlConfig,
 ):
-    """One condensed-MPC lateral control step (``controller.py:253-336``).
+    """One condensed-MPC lateral control step (``controller.py:253-336``),
+    table-driven: lerp (Minv, G1, g2) at Vx, f = 2(G1 e + kappa g2), then a
+    fixed-iteration box ADMM with the prefactored inverse; first control
+    applied."""
+    with jax.default_matmul_precision("highest"):
+        return _mpc_steer_table(s, target, min_index, vp, cfg)
 
-    Builds the batch prediction matrices M, C, Cc over horizon N with control
-    width P, solves the box-constrained QP |u| <= 1 with the ADMM box solver,
-    applies the first control.
-    """
+
+def _mpc_steer_table(s, target, min_index, vp, cfg):
+    rho = 1.0
+    vx = safe_vx(s, cfg)
+    e, kappa, idx = tracking_error(s, target, min_index, cfg)
+    vx_grid_np, Minv_np, G1_np, g2_np = mpc_tables(vp, cfg, rho=rho)
+    vx_grid = jnp.asarray(vx_grid_np)
+
+    def lerp(tab_np):
+        tab = jnp.asarray(tab_np)
+        i = jnp.clip(
+            jnp.searchsorted(vx_grid, vx, side="right") - 1, 0,
+            tab.shape[0] - 2,
+        )
+        w = (vx - vx_grid[i]) / (vx_grid[i + 1] - vx_grid[i])
+        return tab[i] * (1.0 - w) + tab[i + 1] * w
+
+    Minv = lerp(Minv_np)
+    G1 = lerp(G1_np)
+    g2 = lerp(g2_np)
+    f = 2.0 * (G1 @ e + kappa * g2)  # (nu,)
+
+    nu = f.shape[0]
+    lb = -jnp.ones(nu)
+    ub = jnp.ones(nu)
+
+    def body(_, state):
+        x, z, u_d = state
+        x = Minv @ (rho * (z - u_d) - f)
+        z = jnp.clip(x + u_d, lb, ub)
+        u_d = u_d + x - z
+        return x, z, u_d
+
+    z0 = jnp.zeros(nu)
+    _, z, _ = jax.lax.fori_loop(
+        0, cfg.mpc_admm_iters, body, (z0, z0, jnp.zeros(nu))
+    )
+    steer = jnp.clip(z[0], -cfg.steer_limit, cfg.steer_limit)
+    return steer, idx
+
+
+def mpc_steer_exact(
+    s: EgoState,
+    target: Path,
+    min_index: Array,
+    vp: VehicleParams,
+    cfg: ControlConfig,
+):
+    """The per-tick-constructed condensed MPC (used by tests to validate the
+    table-driven fast path)."""
     N, P_w, nx = cfg.mpc_n, cfg.mpc_p, 4
     with jax.default_matmul_precision("highest"):
         return _mpc_steer_impl(s, target, min_index, vp, cfg, N, P_w, nx)

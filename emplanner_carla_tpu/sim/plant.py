@@ -88,8 +88,15 @@ def dynamic_step(
     vx_safe = jnp.maximum(s.vx, 0.5)
     alpha_f = (s.vy + vp.a * s.omega) / vx_safe - delta
     alpha_r = (s.vy - vp.b * s.omega) / vx_safe
-    fyf = vp.cf * alpha_f
-    fyr = vp.cr * alpha_r
+    # friction-limited tire forces: the unsaturated linear model lets
+    # vy/omega blow up non-physically once a controller excites large slip
+    # (observed: a spin-out integrating to 400+ km/h lateral speed). Cap
+    # each axle at mu * static load.
+    mu_g = 1.0 * 9.81
+    fzf = vp.mass * mu_g * vp.b / (vp.a + vp.b)
+    fzr = vp.mass * mu_g * vp.a / (vp.a + vp.b)
+    fyf = jnp.clip(vp.cf * alpha_f, -fzf, fzf)
+    fyr = jnp.clip(vp.cr * alpha_r, -fzr, fzr)
     vy_dot = (fyf + fyr) / vp.mass - s.vx * s.omega
     omega_dot = (vp.a * fyf - vp.b * fyr) / vp.iz
     vx = jnp.maximum(s.vx + accel * dt, 0.0)

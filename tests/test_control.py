@@ -145,3 +145,21 @@ def test_steer_actuator_lag():
     for _ in range(500):
         a = plant.apply_steer_actuator(a, jnp.float32(1.0), VP, 0.01)
     assert float(a) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_mpc_table_matches_exact():
+    """Table-driven MPC (vx-grid lerp) vs per-tick-constructed MPC."""
+    n = 100
+    ang = np.linspace(0, 0.8, n)
+    R = 150.0
+    target = frenet.path_from_xy(
+        jnp.asarray(R * np.sin(ang), jnp.float32),
+        jnp.asarray(R * (1 - np.cos(ang)), jnp.float32),
+    )
+    for vx, y_off in [(5.0, 1.0), (13.9, -1.5), (20.0, 0.3)]:
+        ego = make_ego(x=20.0, y=y_off, vx=vx)
+        s_fast, _ = lateral.mpc_steer(ego, target, jnp.int32(0), VP, CC)
+        s_exact, _ = lateral.mpc_steer_exact(ego, target, jnp.int32(0), VP, CC)
+        assert float(s_fast) == pytest.approx(float(s_exact), abs=0.02), (
+            vx, y_off,
+        )
