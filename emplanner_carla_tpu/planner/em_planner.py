@@ -166,15 +166,20 @@ def plan_full_cycle(
     )
     s_dot0 = jnp.maximum(s_dot0, 0.0)
 
-    # 2. dynamic obstacles against the new path
+    # 2. dynamic obstacles against the new path. Only the dynamic slots can
+    # produce ST segments (static slots fail the st_graph |l_dot| gate by
+    # construction) — slicing them out cuts the speed DP's obstacle-distance
+    # tensor, the full-EM cycle's largest term, by K/n_dynamic.
     path_arc = traj_mod.path_arc_length(target)
     _, dyn_mask, _ = perception.perceive(ego, obstacles, cfg.loop)
+    ds_ = cfg.n_static_obs
     d_s, d_l, d_sdot, d_ldot = frenet.dynamic_obs_frenet(
-        obstacles.x, obstacles.y, obstacles.vx, obstacles.vy, target, path_arc
+        obstacles.x[ds_:], obstacles.y[ds_:],
+        obstacles.vx[ds_:], obstacles.vy[ds_:], target, path_arc,
     )
 
     # 3. ST graph -> DP -> convex space -> QP
-    seg = speed_planner.st_graph(d_s, d_l, d_sdot, d_ldot, dyn_mask, sp)
+    seg = speed_planner.st_graph(d_s, d_l, d_sdot, d_ldot, dyn_mask[ds_:], sp)
     dp = speed_planner.speed_dp(seg, s_dot0, sp)
     s_lb, s_ub, sd_lb, sd_ub = speed_planner.convex_space(
         dp, seg, path_arc, target.kappa, sp
