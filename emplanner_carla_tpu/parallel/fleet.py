@@ -43,14 +43,19 @@ def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
     return jax.tree.map(lambda a: jax.device_put(a, sharding), scenarios)
 
 
-def fleet_simulate(scenarios: Scenario, cfg: EMConfig, mesh: Mesh):
+def fleet_simulate(
+    scenarios: Scenario, cfg: EMConfig, mesh: Mesh, full: bool = False
+):
     """Run the closed loop for a sharded scenario batch.
 
-    Returns (metrics, aggregates): per-scenario metrics (sharded like the
-    input) and fleet-level aggregates reduced across the mesh with psum —
+    ``full=True`` runs the complete EM loop (path + speed planning,
+    ``simulate_full``); otherwise the path-only loop. Returns
+    (metrics, aggregates): per-scenario metrics (sharded like the input)
+    and fleet-level aggregates reduced across the mesh with psum —
     lateral RMSE, mean speed, collision count, scenario count.
     """
-    batched = jax.vmap(lambda gp, e, o: closed_loop.simulate(gp, e, o, cfg))
+    sim = closed_loop.simulate_full if full else closed_loop.simulate
+    batched = jax.vmap(lambda gp, e, o: sim(gp, e, o, cfg))
 
     @partial(
         shard_map,

@@ -1,9 +1,13 @@
-"""Test harness: force an 8-device virtual CPU mesh.
+"""Test harness: CPU backend (+ a virtual multi-device mesh when possible).
 
-Multi-chip sharding tests run on a virtual CPU mesh
-(``xla_force_host_platform_device_count``) because only one physical TPU chip
-is available; the driver separately dry-run-compiles the multi-chip path via
-``__graft_entry__.dryrun_multichip``.
+Forces CPU and requests an 8-device virtual mesh via
+``xla_force_host_platform_device_count``. Caveat: when the ambient axon
+sitecustomize is on PYTHONPATH it replaces jax's CPU client, which ignores
+that flag — the suite then runs on one device and the mesh tests adapt
+(tests/test_fleet.py). True 8-way sharding is validated by
+``__graft_entry__.dryrun_multichip`` in a clean environment (the driver does
+this; manual check: ``env -i PATH=... /opt/venv/bin/python -c "import
+__graft_entry__ as g; g.dryrun_multichip(8)"``).
 """
 
 import os
