@@ -167,3 +167,26 @@ def test_speed_dp_vmaps():
     dps = jax.vmap(lambda v: speed_planner.speed_dp(seg, v, CFG))(v0s)
     assert dps.s.shape == (8, CFG.n_t)
     assert bool(jnp.all(jnp.isfinite(dps.s)))
+
+
+def test_grid_obs_cost_matches_exact_decisions():
+    """The grid-interpolated obstacle cost must reproduce the exact mode's
+    DP decisions across yield/overtake/crossing regimes."""
+    import dataclasses
+
+    exact_cfg = dataclasses.replace(CFG, obs_cost_mode="exact")
+    cases = [
+        [(18.0, -5.0, 1.0, 1.4)],
+        [(35.0, -8.0, 0.5, 1.0)],
+        [(25.0, -5.0, 2.0, 1.2), (40.0, 6.0, 1.0, -1.0)],
+    ]
+    for obs in cases:
+        s, l, sd, ld, valid = pack_dyn(obs)
+        for v0 in [6.0, 13.9]:
+            seg = speed_planner.st_graph(s, l, sd, ld, valid, CFG)
+            dp_g = speed_planner.speed_dp(seg, jnp.float32(v0), CFG)
+            dp_e = speed_planner.speed_dp(seg, jnp.float32(v0), exact_cfg)
+            assert int(dp_g.end_index) == int(dp_e.end_index), (obs, v0)
+            np.testing.assert_allclose(
+                np.asarray(dp_g.s), np.asarray(dp_e.s), atol=1e-4,
+            )
