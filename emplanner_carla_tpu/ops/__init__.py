@@ -1,1 +1,7 @@
-from emplanner_carla_tpu.ops import frenet, qp, quintic  # noqa: F401
+from emplanner_carla_tpu.ops import (  # noqa: F401
+    frenet,
+    qp,
+    qp_pallas,
+    quintic,
+    speed_dp_pallas,
+)
