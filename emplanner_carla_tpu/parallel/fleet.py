@@ -18,7 +18,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from emplanner_carla_tpu.config import EMConfig
@@ -58,11 +57,11 @@ def fleet_simulate(
     batched = jax.vmap(lambda gp, e, o: sim(gp, e, o, cfg))
 
     @partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(P(DATA_AXIS),),
         out_specs=(P(DATA_AXIS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run(sc: Scenario):
         carry, metrics = batched(sc.global_path, sc.ego0, sc.obstacles)
