@@ -152,15 +152,11 @@ class SpeedPlanConfig:
     n_dense: int = 401
     admm_iters: int = 120
     admm_rho: float = 1.0
-    # obstacle edge-cost evaluation: "exact" computes the reference-exact
-    # per-sample distances (measured: XLA fuses it essentially for free);
-    # "grid" evaluates the cost field on an (obs_grid_s x obs_grid_t) S-T
-    # grid and bilinearly maps samples through static gathers — kept as an
-    # option, but the gathers measured slightly slower than the fused exact
-    # form, so exact is the default
-    obs_cost_mode: str = "exact"
-    obs_grid_s: int = 128
-    obs_grid_t: int = 96
+    # (a "grid" obstacle-cost mode — bilinear interpolation of a
+    # precomputed (S, T) cost field — was measured only ~8% faster than the
+    # fused exact distances at K=8 while flipping DP decisions in 2/6
+    # regression regimes, and was removed in round 2; exact per-sample
+    # distances are the only mode)
 
     @property
     def s_grid(self) -> tuple:
@@ -238,7 +234,9 @@ class ControlConfig:
     ts_discretize: float = 0.1
     ts_predict: float = 0.1
     min_vx: float = 0.005       # Vx singularity guard, controller.py:103-109
-    match_window: int = 64      # windowed match search, controller.py:198
+    # (the reference's 50-point windowed match search, controller.py:198, is
+    # a CPU-latency trick; the TPU rebuild does a full branch-free argmin —
+    # see lateral.tracking_error)
     # PID
     kp: float = 1.15
     ki: float = 0.0

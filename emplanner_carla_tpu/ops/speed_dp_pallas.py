@@ -181,9 +181,10 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
     seg: STSegments with leading batch axis (B, K); v0: (B,). Returns a
     ``SpeedDPResult`` with leading batch axis. Validated bitwise-identical
     to the vmapped XLA DP at batch 4096 on TPU hardware (and ~25% faster:
-    89 -> 65 ms; the residual is the XLA-side obstacle tensor). Wiring it
-    under the vmapped closed loop needs a custom_vmap dispatch — tracked
-    for the next round.
+    89 -> 65 ms; the residual is the XLA-side obstacle tensor). Dispatched
+    onto the ``simulate_full`` hot path by ``speed_planner.speed_dp``'s
+    ``jax.custom_vmap`` rule whenever the vmapped batch fills whole lane
+    registers (B % BLK == 0) on a TPU backend.
     """
     from emplanner_carla_tpu.planner import speed_planner as SP
 

@@ -114,87 +114,6 @@ def _collision_cost(d: Array, cfg: SpeedPlanConfig) -> Array:
     )
 
 
-@lru_cache(maxsize=None)
-def _sample_geometry(cfg: SpeedPlanConfig):
-    """Static NumPy geometry of all DP edge samples + bilinear maps.
-
-    Returns (grid s/t axes, and for both the column-0 samples (n_s, m) and
-    the transition samples (n_t-1, n_s, n_s, m): flat bilinear gather
-    indices (4, N) and weights (4, N) into the (S, T) cost field).
-
-    The sample coordinates are pure grid geometry — scenario-independent —
-    so the interpolation pattern is a compile-time constant: the per-
-    scenario work reduces from one distance evaluation per (edge, sample,
-    obstacle) to one (S x T x K) field plus static gathers.
-    """
-    import numpy as np
-
-    s_grid = np.asarray(cfg.s_grid)
-    n_s, n_t, m = cfg.n_s, cfg.n_t, cfg.n_edge_samples
-    t_grid = (np.arange(n_t) + 1.0) * cfg.t_step
-    frac = np.arange(m) / (m - 1)
-
-    S, T = cfg.obs_grid_s, cfg.obs_grid_t
-    s_axis = np.linspace(0.0, float(s_grid[-1]), S)
-    t_axis = np.linspace(0.0, float(cfg.horizon), T)
-
-    def bilinear_maps(s_pts, t_pts):
-        s_pts = np.clip(s_pts, s_axis[0], s_axis[-1])
-        t_pts = np.clip(t_pts, t_axis[0], t_axis[-1])
-        si = np.clip(
-            np.searchsorted(s_axis, s_pts, side="right") - 1, 0, S - 2
-        )
-        ti = np.clip(
-            np.searchsorted(t_axis, t_pts, side="right") - 1, 0, T - 2
-        )
-        ws = (s_pts - s_axis[si]) / (s_axis[si + 1] - s_axis[si])
-        wt = (t_pts - t_axis[ti]) / (t_axis[ti + 1] - t_axis[ti])
-        idx = np.stack(
-            [
-                si * T + ti,
-                si * T + ti + 1,
-                (si + 1) * T + ti,
-                (si + 1) * T + ti + 1,
-            ]
-        ).astype(np.int32)
-        w = np.stack(
-            [(1 - ws) * (1 - wt), (1 - ws) * wt, ws * (1 - wt), ws * wt]
-        ).astype(np.float32)
-        return idx, w
-
-    # column-0 samples: (0,0) -> (s_j, t_0)
-    s0 = (s_grid[:, None] * frac[None, :]).reshape(-1)
-    t0 = (t_grid[0] * frac[None, :] * np.ones((n_s, 1))).reshape(-1)
-    idx0, w0 = bilinear_maps(s0, t0)
-
-    # transition samples: (s_k, t_{i-1}) -> (s_j, t_i)
-    s_tr = (
-        s_grid[None, :, None, None]
-        + (s_grid[None, None, :, None] - s_grid[None, :, None, None])
-        * frac[None, None, None, :]
-    ) * np.ones((n_t - 1, 1, 1, 1))
-    t_tr = (
-        t_grid[:-1][:, None, None, None] + cfg.t_step * frac[None, None, None, :]
-    ) * np.ones((1, n_s, n_s, 1))
-    idx_tr, w_tr = bilinear_maps(s_tr.reshape(-1), t_tr.reshape(-1))
-    return s_axis, t_axis, idx0, w0, idx_tr, w_tr
-
-
-def _obs_cost_field(seg: STSegments, cfg: SpeedPlanConfig):
-    """Per-scenario obstacle cost field on the (S, T) grid, flattened."""
-    import numpy as np
-
-    s_axis, t_axis, *_ = _sample_geometry(cfg)
-    ss = jnp.asarray(
-        np.repeat(s_axis, len(t_axis)).astype(np.float32)
-    )  # (S*T,)
-    tt = jnp.asarray(
-        np.tile(t_axis, len(s_axis)).astype(np.float32)
-    )
-    d = _seg_distance(ss, tt, seg)  # (S*T, K)
-    return jnp.sum(jnp.where(seg.valid, _collision_cost(d, cfg), 0.0), axis=-1)
-
-
 class SpeedDPResult(NamedTuple):
     s: Array        # (n_t,) chosen s per t column
     t: Array        # (n_t,) column times
@@ -208,6 +127,52 @@ def speed_dp(
 ) -> SpeedDPResult:
     """Speed decision DP over the (40 s x 16 t) lattice
     (= ``speed_DP``, ``speed_planning_test.py:101-188``).
+
+    Unbatched calls run the XLA scan below; under ``vmap`` a
+    ``jax.custom_vmap`` rule dispatches TPU batches that fill whole lane
+    registers to the Pallas batch-in-lanes kernel
+    (``ops/speed_dp_pallas.py``) — this is how the kernel sits on the
+    ``simulate_full`` hot path without changing any call site.
+    """
+    return _speed_dp_dispatch(cfg)(seg, plan_start_s_dot)
+
+
+@lru_cache(maxsize=None)
+def _speed_dp_dispatch(cfg: SpeedPlanConfig):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(seg, v0):
+        return _speed_dp_xla(seg, v0, cfg)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, seg, v0):
+        from emplanner_carla_tpu.ops import speed_dp_pallas
+
+        seg_b, v0_b = in_batched
+
+        def bcast(a, was):
+            return a if was else jnp.broadcast_to(a, (axis_size,) + a.shape)
+
+        seg = jax.tree.map(bcast, seg, seg_b)
+        v0 = bcast(v0, v0_b)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and axis_size % speed_dp_pallas.BLK == 0
+        )
+        if use_pallas:
+            out = speed_dp_pallas.speed_dp_batched(seg, v0, cfg)
+        else:
+            out = jax.vmap(lambda s, v: _speed_dp_xla(s, v, cfg))(seg, v0)
+        return out, SpeedDPResult(True, True, True, True)
+
+    return f
+
+
+def _speed_dp_xla(
+    seg: STSegments, plan_start_s_dot: Array, cfg: SpeedPlanConfig
+) -> SpeedDPResult:
+    """The unbatched XLA scan implementation.
 
     Internally rows are s ascending (the reference's row 0 = s_max
     convention, ``CalcSTCoordinate:287``, is an indexing detail its outputs
@@ -224,32 +189,27 @@ def speed_dp(
     m = cfg.n_edge_samples
     frac = jnp.arange(m, dtype=jnp.float32) / (m - 1)  # [0, 1] (Q5 fixed)
 
-    if cfg.obs_cost_mode == "grid":
-        # evaluate the obstacle cost field once on the (S, T) grid, then map
-        # every edge sample through *static* bilinear gathers (the sample
-        # coordinates are grid geometry, so indices/weights are compile-time
-        # constants). ~40x fewer distance evaluations than the dense tensor
-        # — the dense form was ~50% of the whole full-EM cycle.
-        _, _, idx0_np, w0_np, idx_tr_np, w_tr_np = _sample_geometry(cfg)
-        field = _obs_cost_field(seg, cfg)  # (S*T,)
-        obs0 = jnp.sum(
-            (jnp.asarray(w0_np) * field[jnp.asarray(idx0_np)]).sum(axis=0)
-            .reshape(n_s, m),
-            axis=-1,
-        )
-        obs_tr = jnp.sum(
-            (jnp.asarray(w_tr_np) * field[jnp.asarray(idx_tr_np)]).sum(axis=0)
-            .reshape(n_t - 1, n_s, n_s, m),
-            axis=-1,
-        )
-    else:
-        # exact per-sample distances (the oracle-parity mode)
-        s0_samples = s_grid[:, None] * frac[None, :]            # (n_s, m)
-        t0_samples = t_grid[0] * frac[None, :] * jnp.ones((n_s, 1))
-        d0 = _seg_distance(s0_samples, t0_samples, seg)         # (n_s, m, K)
-        obs0 = jnp.sum(
-            jnp.where(seg.valid, _collision_cost(d0, cfg), 0.0), axis=(-2, -1)
-        )  # (n_s,)
+    # exact per-sample distances (XLA fuses the distance/cost chain; an
+    # interpolated-field variant measured only ~8% faster and was removed)
+    s0_samples = s_grid[:, None] * frac[None, :]            # (n_s, m)
+    t0_samples = t_grid[0] * frac[None, :] * jnp.ones((n_s, 1))
+    d0 = _seg_distance(s0_samples, t0_samples, seg)         # (n_s, m, K)
+    obs0 = jnp.sum(
+        jnp.where(seg.valid, _collision_cost(d0, cfg), 0.0), axis=(-2, -1)
+    )  # (n_s,)
+    # transition edges: (s_k, t_{i-1}) -> (s_j, t_i), i = 1..n_t-1
+    # sample tensor: (n_t-1, n_s_prev, n_s_cur, m)
+    t_start = t_grid[:-1]
+    s_samp = s_grid[None, :, None, None] + (
+        s_grid[None, None, :, None] - s_grid[None, :, None, None]
+    ) * frac[None, None, None, :]
+    t_samp = (
+        t_start[:, None, None, None] + dt * frac[None, None, None, :]
+    ) * jnp.ones((1, n_s, n_s, 1))
+    d_tr = _seg_distance(s_samp, t_samp, seg)  # (n_t-1, n_s, n_s, m, K)
+    obs_tr = jnp.sum(
+        jnp.where(seg.valid, _collision_cost(d_tr, cfg), 0.0), axis=(-2, -1)
+    )  # (n_t-1, n_s, n_s)
     v0 = s_grid / t_grid[0]
     ref0 = cfg.w_ref_speed * (v0 - cfg.reference_speed) ** 2
     a0 = (v0 - plan_start_s_dot) / t_grid[0]
@@ -259,20 +219,6 @@ def speed_dp(
         cfg.accel_penalty * cfg.w_accel * a0**2,
     )
     cost0 = obs0 + ref0 + acc0
-
-    # transition edges: (s_k, t_{i-1}) -> (s_j, t_i), i = 1..n_t-1
-    # sample tensor: (n_t-1, n_s_prev, n_s_cur, m)
-    t_start = t_grid[:-1]
-    s_samp = s_grid[None, :, None, None] + (
-        s_grid[None, None, :, None] - s_grid[None, :, None, None]
-    ) * frac[None, None, None, :]
-    t_samp = (t_start[:, None, None, None] + dt * frac[None, None, None, :]) * jnp.ones(
-        (1, n_s, n_s, 1)
-    )
-    d_tr = _seg_distance(s_samp, t_samp, seg)  # (n_t-1, n_s, n_s, m, K)
-    obs_tr = jnp.sum(
-        jnp.where(seg.valid, _collision_cost(d_tr, cfg), 0.0), axis=(-2, -1)
-    )  # (n_t-1, n_s, n_s)
 
     dv = (s_grid[None, :] - s_grid[:, None]) / dt  # (prev, cur) edge speed
     ref_tr = cfg.w_ref_speed * (dv - cfg.reference_speed) ** 2
@@ -467,10 +413,54 @@ def speed_qp(
     """Smooth s(t) inside the convex space (= ``speed_QP``,
     ``speed_planning_test.py:403-511``; quirk Q6 fixed — the bounds are
     real constraints here). Returns (s, s_dot, s_dot2, t) over the full
-    horizon (n_t + 1 knots at dt = t_step)."""
+    horizon (n_t + 1 knots at dt = t_step).
+
+    Feasibility guard: the curvature / yield caps can demand a harder brake
+    than ``accel_min`` allows from the *pinned* start state (observed when
+    entering a tight avoidance swerve fast), making the QP infeasible — and
+    an infeasible QP turns every solver's output into an arbitrary
+    least-infeasible point (the f32 ADMM and the f64 oracle then disagree
+    by m/s). The caps are relaxed to the reachable max-braking envelope
+    (and the floors to the max-acceleration envelope): brake-at-the-limit
+    is the only physical answer to an unreachable cap, and it keeps the
+    feasible set non-empty for both solvers.
+    """
     n = cfg.n_t + 1
     nv = 3 * n
     solve = _speed_solver(cfg)
+
+    dt = cfg.t_step
+    margin = 1e-2
+
+    def envelope(a_limit):
+        # exact discrete reachable extreme under the QP's own continuity
+        # model: v_{i+1} = v_i + dt/2 (a_i + a_{i+1}),
+        # s_{i+1} = s_i + dt v_i + dt^2/3 a_i + dt^2/6 a_{i+1},
+        # with a chosen at the limit but keeping v >= 0 (braking side)
+        def step(carry, _):
+            s_i, v_i, a_i = carry
+            a_next = a_limit
+            if a_limit < 0.0:
+                a_next = jnp.maximum(a_limit, -2.0 * v_i / dt - a_i)
+            a_next = jnp.asarray(a_next, jnp.float32)
+            v_next = jnp.maximum(v_i + dt * 0.5 * (a_i + a_next), 0.0)
+            s_next = s_i + dt * v_i + dt * dt / 3.0 * a_i + dt * dt / 6.0 * a_next
+            return (s_next, v_next, a_next), (s_next, v_next)
+
+        init = (
+            jnp.zeros((), jnp.float32),
+            jnp.maximum(plan_start_s_dot, 0.0),
+            plan_start_s_dot2,
+        )
+        (_, _, _), (s_env, v_env) = jax.lax.scan(step, init, None, length=cfg.n_t)
+        return s_env, v_env
+
+    s_min_env, v_min_env = envelope(cfg.accel_min)
+    s_max_env, v_max_env = envelope(cfg.accel_max)
+    s_ub = jnp.maximum(s_ub, s_min_env + margin)
+    s_dot_ub = jnp.maximum(s_dot_ub, v_min_env + margin)
+    s_lb = jnp.minimum(s_lb, jnp.maximum(s_max_env - margin, 0.0))
+    s_dot_lb = jnp.minimum(s_dot_lb, jnp.maximum(v_max_env - margin, 0.0))
 
     q = jnp.zeros(nv).at[1::3].set(-2.0 * cfg.w_qp_v_ref * cfg.reference_speed)
 

@@ -37,6 +37,11 @@ class TickMetrics(NamedTuple):
     heading: Array
     collided: Array      # within collision_radius of any valid obstacle
     arrived: Array
+    feasible: Array      # this tick's plan: DP found a collision-free
+    #                      homotopy AND every planner output is finite
+    #                      (the reference only *prints* "can't find a
+    #                      feasible path", path_planning.py:351-353;
+    #                      SURVEY §5 requires the flag be propagated)
 
 
 class LoopCarry(NamedTuple):
@@ -57,6 +62,20 @@ def _advance_obstacles(obs: Obstacles, dt: float) -> Obstacles:
     vendored BehaviorAgent, ``test_9.py:288-291,344``; CV is the scenario
     model here — the agent presets live in sim/npc.py)."""
     return obs._replace(x=obs.x + obs.vx * dt, y=obs.y + obs.vy * dt)
+
+
+def _all_finite(tree) -> Array:
+    """Scalar bool: every leaf of the pytree is finite (the NaN guard on
+    the batched QP results SURVEY §5 calls for — an ADMM blow-up in one
+    scenario must surface as an infeasible cycle, not a NaN trajectory)."""
+    leaves = jax.tree.leaves(tree)
+    return jnp.all(jnp.stack([jnp.all(jnp.isfinite(a)) for a in leaves]))
+
+
+def _sanitize(tree):
+    """Replace non-finite planner outputs so downstream metrics stay finite
+    (the controller is simultaneously forced into a controlled stop)."""
+    return jax.tree.map(lambda a: jnp.nan_to_num(a), tree)
 
 
 def _lateral_error(ego: EgoState, target: Path) -> Array:
@@ -82,7 +101,7 @@ def simulate(
     dest_x, dest_y = global_path.x[-1], global_path.y[-1]
 
     def control_tick(carry, _):
-        ego, cs, obs, target, arrived = carry
+        ego, cs, obs, target, arrived, feas, plan_ok = carry
         # Longitudinal safety guard (time-headway ACC): cap the PID's target
         # speed against the nearest obstacle that lies ahead and laterally
         # within the ego's swept corridor. The reference has no longitudinal
@@ -103,16 +122,19 @@ def simulate(
             (d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0
         )
         tick_target = jnp.minimum(target_speed, v_cap_kmh)
+        # finite-output guard: a non-finite plan cannot be tracked -> stop
+        tick_target = jnp.where(plan_ok, tick_target, 0.0)
         steer, throttle, brake, cs = vehicle.run_step(
             ego, target, cs, tick_target, cfg.vehicle, cfg.control
         )
         arrived = arrived | (
             jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
         )
-        # emergency brake on arrival (test_9.py:40-45,441-446)
-        steer = jnp.where(arrived, 0.0, steer)
-        throttle = jnp.where(arrived, 0.0, throttle)
-        brake = jnp.where(arrived, 1.0, brake)
+        # emergency brake on arrival (test_9.py:40-45,441-446) or NaN plan
+        stop = arrived | ~plan_ok
+        steer = jnp.where(stop, 0.0, steer)
+        throttle = jnp.where(stop, 0.0, throttle)
+        brake = jnp.where(stop, 1.0, brake)
         ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
         obs = _advance_obstacles(obs, cfg.plant.dt)
 
@@ -126,17 +148,21 @@ def simulate(
             ego.phi,
             collided,
             arrived,
+            feas & plan_ok,
         )
-        return (ego, cs, obs, target, arrived), m
+        return (ego, cs, obs, target, arrived, feas, plan_ok), m
 
     def plan_cycle(carry: LoopCarry, _):
         res = em_planner.plan_path_cycle(
             global_path, carry.ego, carry.obstacles, carry.match_index, cfg
         )
+        plan_ok = _all_finite(res.target)
+        target = _sanitize(res.target)
         cs = carry.ctrl.rebind()  # controller re-instantiation, test_9.py:415
-        (ego, cs, obs, _, arrived), metrics = jax.lax.scan(
+        (ego, cs, obs, _, arrived, _, _), metrics = jax.lax.scan(
             control_tick,
-            (carry.ego, cs, carry.obstacles, res.target, carry.arrived),
+            (carry.ego, cs, carry.obstacles, target, carry.arrived,
+             res.feasible, plan_ok),
             None,
             length=lp.plan_every,
         )
@@ -220,7 +246,7 @@ def simulate_traffic(
         return obs._replace(x=new_x, y=new_y, vx=new_vx, vy=new_vy), idx_new
 
     def control_tick(carry, _):
-        ego, cs, obs, npc_idx, target, arrived = carry
+        ego, cs, obs, npc_idx, target, arrived, feas, plan_ok = carry
         vxw, vyw = ego.v_world
         spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
         ux, uy = vxw / spd, vyw / spd
@@ -231,35 +257,39 @@ def simulate_traffic(
         d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
         v_cap_kmh = 3.6 * jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
         tick_target = jnp.minimum(target_speed, v_cap_kmh)
+        tick_target = jnp.where(plan_ok, tick_target, 0.0)
         steer, throttle, brake, cs = vehicle.run_step(
             ego, target, cs, tick_target, cfg.vehicle, cfg.control
         )
         arrived = arrived | (
             jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
         )
-        steer = jnp.where(arrived, 0.0, steer)
-        throttle = jnp.where(arrived, 0.0, throttle)
-        brake = jnp.where(arrived, 1.0, brake)
+        stop = arrived | ~plan_ok
+        steer = jnp.where(stop, 0.0, steer)
+        throttle = jnp.where(stop, 0.0, throttle)
+        brake = jnp.where(stop, 1.0, brake)
         ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
         obs, npc_idx = advance_npcs(ego, obs, npc_idx, cfg.plant.dt)
         d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
         collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
         m = TickMetrics(
             ego.x, ego.y, 3.6 * ego.speed, _lateral_error(ego, target),
-            ego.phi, collided, arrived,
+            ego.phi, collided, arrived, feas & plan_ok,
         )
-        return (ego, cs, obs, npc_idx, target, arrived), m
+        return (ego, cs, obs, npc_idx, target, arrived, feas, plan_ok), m
 
     def plan_cycle(carry: TrafficCarry, _):
         lc = carry.loop
         res = em_planner.plan_path_cycle(
             global_path, lc.ego, lc.obstacles, lc.match_index, cfg
         )
+        plan_ok = _all_finite(res.target)
+        target = _sanitize(res.target)
         cs = lc.ctrl.rebind()
-        (ego, cs, obs, npc_idx, _, arrived), metrics = jax.lax.scan(
+        (ego, cs, obs, npc_idx, _, arrived, _, _), metrics = jax.lax.scan(
             control_tick,
-            (lc.ego, cs, lc.obstacles, carry.npc_path_index, res.target,
-             lc.arrived),
+            (lc.ego, cs, lc.obstacles, carry.npc_path_index, target,
+             lc.arrived, res.feasible, plan_ok),
             None,
             length=lp.plan_every,
         )
@@ -324,9 +354,10 @@ def simulate_full(
     tick_dt = cfg.plant.dt
 
     def control_tick(carry, tick_idx):
-        ego, cs, obs, traj, target, arrived = carry
+        ego, cs, obs, traj, target, arrived, feas, plan_ok = carry
         t_rel = (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
         plan_speed = traj_mod.speed_at(traj, t_rel)  # m/s
+        plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
 
         # safety guard (see simulate())
         vxw, vyw = ego.v_world
@@ -346,9 +377,10 @@ def simulate_full(
         arrived = arrived | (
             jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
         )
-        steer = jnp.where(arrived, 0.0, steer)
-        throttle = jnp.where(arrived, 0.0, throttle)
-        brake = jnp.where(arrived, 1.0, brake)
+        stop = arrived | ~plan_ok
+        steer = jnp.where(stop, 0.0, steer)
+        throttle = jnp.where(stop, 0.0, throttle)
+        brake = jnp.where(stop, 1.0, brake)
         ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
         obs = _advance_obstacles(obs, tick_dt)
 
@@ -356,20 +388,25 @@ def simulate_full(
         collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
         m = TickMetrics(
             ego.x, ego.y, 3.6 * ego.speed, _lateral_error(ego, target),
-            ego.phi, collided, arrived,
+            ego.phi, collided, arrived, feas & plan_ok,
         )
-        return (ego, cs, obs, traj, target, arrived), m
+        return (ego, cs, obs, traj, target, arrived, feas, plan_ok), m
 
     def plan_cycle(carry: LoopCarry, _):
         res = em_planner.plan_full_cycle(
             global_path, carry.ego, carry.obstacles, carry.match_index, cfg
         )
+        # finite guard covers both QP chains: the path and the merged
+        # time-parameterized trajectory
+        plan_ok = _all_finite(res.path.target) & _all_finite(res.trajectory)
+        target = _sanitize(res.path.target)
+        traj = _sanitize(res.trajectory)
         cs = carry.ctrl.rebind()
-        (ego, cs, obs, _, _, arrived), metrics = jax.lax.scan(
+        (ego, cs, obs, _, _, arrived, _, _), metrics = jax.lax.scan(
             control_tick,
             (
-                carry.ego, cs, carry.obstacles, res.trajectory,
-                res.path.target, carry.arrived,
+                carry.ego, cs, carry.obstacles, traj,
+                target, carry.arrived, res.path.feasible, plan_ok,
             ),
             jnp.arange(lp.plan_every),
         )
@@ -397,4 +434,7 @@ def summarize(metrics: TickMetrics):
         "mean_speed_kmh": jnp.mean(flat.speed_kmh),
         "collided": jnp.any(flat.collided),
         "arrived": jnp.any(flat.arrived),
+        # feasible is constant within a cycle, so the tick-weighted mean
+        # equals the cycle-weighted mean
+        "infeasible_frac": jnp.mean(1.0 - flat.feasible.astype(jnp.float32)),
     }

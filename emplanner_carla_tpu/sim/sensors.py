@@ -4,9 +4,9 @@ Rebuild of the reference's sensor scaffolding as pure functions over the
 simulated world state:
 
 * collision sensor — ``Sensors_detector_lib.Collision_sensor:13-43``
-  (impulse history); here: per-tick penetration depth against obstacle
-  discs, accumulated in a fixed ring (the 4000-cap history becomes a
-  bounded buffer in the metrics stream).
+  (impulse history, 4000-event cap); here: per-tick instantaneous
+  penetration depth against obstacle discs — the history lives in the
+  scan's per-tick metrics stream rather than a mutable buffer.
 * lane-invasion sensor — ``Sensors_detector_lib.Lane_invasion_sensor:44``;
   here: |l| vs the lane half-width against the global path.
 * obstacle detector — ``Sensors_detector_lib.Obstacle_detector:95`` (30 m
