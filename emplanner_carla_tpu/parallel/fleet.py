@@ -72,18 +72,23 @@ def fleet_simulate(
             jnp.any(metrics.collided.reshape(b, -1), axis=1).astype(jnp.float32)
         )
         speed_sum = jnp.sum(metrics.speed_kmh)
+        # feasible is constant within a plan cycle: count infeasible cycles
+        # from each cycle's first tick (metrics are (b, n_plans, plan_every))
+        infeasible = jnp.sum(1.0 - metrics.feasible[..., 0].astype(jnp.float32))
         # cross-chip reductions ride ICI
         tot_sq = jax.lax.psum(sq_sum, DATA_AXIS)
         tot_ticks = jax.lax.psum(n_ticks, DATA_AXIS)
         tot_col = jax.lax.psum(collisions, DATA_AXIS)
         tot_speed = jax.lax.psum(speed_sum, DATA_AXIS)
         tot_b = jax.lax.psum(jnp.asarray(b, jnp.float32), DATA_AXIS)
+        tot_infeasible = jax.lax.psum(infeasible, DATA_AXIS)
         agg = jnp.stack(
             [
                 jnp.sqrt(tot_sq / tot_ticks),
                 tot_speed / tot_ticks,
                 tot_col,
                 tot_b,
+                tot_infeasible,
             ]
         )
         return metrics, agg
@@ -94,4 +99,5 @@ def fleet_simulate(
         "mean_speed_kmh": agg[1],
         "collisions": agg[2],
         "n_scenarios": agg[3],
+        "infeasible_cycles": agg[4],
     }

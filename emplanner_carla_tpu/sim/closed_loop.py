@@ -181,15 +181,17 @@ def simulate(
 class TrafficCarry(NamedTuple):
     loop: LoopCarry
     npc_path_index: Array   # (K,) per-slot NPC match indices
+    npc_lane: "object"      # npc.LaneState over (K,) slots
 
 
-@partial(jax.jit, static_argnames=("cfg", "behavior"))
+@partial(jax.jit, static_argnames=("cfg", "behavior", "full"))
 def simulate_traffic(
     global_path: Path,
     ego0: EgoState,
     obstacles0: Obstacles,
     cfg: EMConfig,
     behavior: str = "normal",
+    full: bool = False,
 ) -> tuple[TrafficCarry, TickMetrics]:
     """Closed loop with *agent-driven* NPCs instead of constant velocity.
 
@@ -197,21 +199,33 @@ def simulate_traffic(
     ``BehaviorAgent`` following the same route as the ego
     (``test_9.py:288-291,344``). Here each dynamic obstacle slot runs the
     ``sim/npc.py`` agent (pure-pursuit on the global path + IDM
-    car-following against the ego and the other NPCs) inside the same
-    compiled loop. Static slots stay parked.
+    car-following + overtake-pressure lane changes against the ego and the
+    other NPCs, ``behavior_agent.py:150-199``) inside the same compiled
+    loop. Static slots stay parked.
+
+    ``full=True`` runs the complete EM pipeline per replan (path + S-T
+    speed planning, like ``simulate_full``) with the agent NPCs in the
+    world — the agent-traffic analogue of test_10's intent.
     """
+    from emplanner_carla_tpu.planner import trajectory as traj_mod
     from emplanner_carla_tpu.sim import npc as npc_mod
 
     lp = cfg.loop
     preset = npc_mod.preset(behavior)
     target_speed = jnp.asarray(lp.target_speed_kmh, jnp.float32)
     dest_x, dest_y = global_path.x[-1], global_path.y[-1]
+    tick_dt = cfg.plant.dt
     K = obstacles0.k
     dyn_slot = jnp.arange(K) >= cfg.n_static_obs
+    # dynamic slots moving at walking speed are pedestrians: they cross at
+    # constant velocity (scenario.WALKER_SPEED) rather than running the
+    # vehicle agent
+    speed0 = jnp.hypot(obstacles0.vx, obstacles0.vy)
+    agent_slot = dyn_slot & (speed0 > 2.5)
 
-    def advance_npcs(ego, obs, npc_idx, dt):
-        speed = jnp.hypot(obs.vx, obs.vy)
-        is_agent = obs.valid & dyn_slot
+    def advance_npcs(ego, obs, npc_idx, lane, dt):
+        is_agent = obs.valid & agent_slot
+        lane = npc_mod.slew_lane(lane, dt)
 
         def one(k):
             st = NPCStateAt(obs, npc_idx, k)
@@ -224,15 +238,41 @@ def simulate_traffic(
                 jnp.concatenate([obs.valid, jnp.ones(1, bool)])
                 .at[k].set(False)  # not itself
             )
-            gap, v_lead = npc_mod.lead_info(
-                st.ego, others_x, others_y, others_v, others_valid
+            slot_lane = npc_mod.LaneState(lane.offset[k], lane.target[k])
+            l_now = npc_mod.lateral_offset_on_path(
+                st.ego, global_path, st.path_index
+            )
+            # own-lane lead (pressure) vs intended-lane lead (IDM target)
+            gap_own, v_lead_own = npc_mod.lead_info(
+                st.ego, others_x, others_y, others_v, others_valid,
+                lateral_shift=-l_now,
+            )
+            gap_tgt, v_lead_tgt = npc_mod.lead_info(
+                st.ego, others_x, others_y, others_v, others_valid,
+                lateral_shift=slot_lane.target - l_now,
+            )
+            left_free = npc_mod.corridor_free(
+                st.ego, npc_mod.LANE_WIDTH - l_now,
+                others_x, others_y, others_valid,
+            )
+            right_free = npc_mod.corridor_free(
+                st.ego, -npc_mod.LANE_WIDTH - l_now,
+                others_x, others_y, others_valid,
+            )
+            own_free = npc_mod.corridor_free(
+                st.ego, -l_now, others_x, others_y, others_valid
+            )
+            slot_lane = npc_mod.lane_change_decision(
+                slot_lane, gap_own, v_lead_own, st.ego.vx, left_free,
+                right_free, own_free, preset,
             )
             st2 = npc_mod.npc_step(
-                st, global_path, gap, v_lead, preset, cfg.vehicle, dt
+                st, global_path, gap_tgt, v_lead_tgt, preset, cfg.vehicle,
+                dt, lane_offset=slot_lane.offset,
             )
-            return st2
+            return st2, slot_lane
 
-        states = jax.vmap(one)(jnp.arange(K))
+        states, lanes = jax.vmap(one)(jnp.arange(K))
         agent = is_agent
         new_x = jnp.where(agent, states.ego.x, obs.x + obs.vx * dt)
         new_y = jnp.where(agent, states.ego.y, obs.y + obs.vy * dt)
@@ -243,10 +283,18 @@ def simulate_traffic(
             agent, states.ego.vx * jnp.sin(states.ego.phi), obs.vy
         )
         idx_new = jnp.where(agent, states.path_index, npc_idx)
-        return obs._replace(x=new_x, y=new_y, vx=new_vx, vy=new_vy), idx_new
+        lane_new = npc_mod.LaneState(
+            jnp.where(agent, lanes.offset, lane.offset),
+            jnp.where(agent, lanes.target, lane.target),
+        )
+        return (
+            obs._replace(x=new_x, y=new_y, vx=new_vx, vy=new_vy),
+            idx_new,
+            lane_new,
+        )
 
-    def control_tick(carry, _):
-        ego, cs, obs, npc_idx, target, arrived, feas, plan_ok = carry
+    def control_tick(carry, tick_idx):
+        ego, cs, obs, npc_idx, lane, traj, target, arrived, feas, plan_ok = carry
         vxw, vyw = ego.v_world
         spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
         ux, uy = vxw / spd, vyw / spd
@@ -255,9 +303,15 @@ def simulate_traffic(
         d_lat = -dxo * uy + dyo * ux
         lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
         d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
-        v_cap_kmh = 3.6 * jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
-        tick_target = jnp.minimum(target_speed, v_cap_kmh)
-        tick_target = jnp.where(plan_ok, tick_target, 0.0)
+        v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        if full:
+            t_rel = (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
+            plan_speed = traj_mod.speed_at(traj, t_rel)
+            plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
+            tick_target = 3.6 * jnp.minimum(plan_speed, v_cap)
+        else:
+            tick_target = jnp.minimum(target_speed, 3.6 * v_cap)
+            tick_target = jnp.where(plan_ok, tick_target, 0.0)
         steer, throttle, brake, cs = vehicle.run_step(
             ego, target, cs, tick_target, cfg.vehicle, cfg.control
         )
@@ -269,33 +323,53 @@ def simulate_traffic(
         throttle = jnp.where(stop, 0.0, throttle)
         brake = jnp.where(stop, 1.0, brake)
         ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
-        obs, npc_idx = advance_npcs(ego, obs, npc_idx, cfg.plant.dt)
+        obs, npc_idx, lane = advance_npcs(ego, obs, npc_idx, lane, tick_dt)
         d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
         collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
         m = TickMetrics(
             ego.x, ego.y, 3.6 * ego.speed, _lateral_error(ego, target),
             ego.phi, collided, arrived, feas & plan_ok,
         )
-        return (ego, cs, obs, npc_idx, target, arrived, feas, plan_ok), m
+        return (
+            ego, cs, obs, npc_idx, lane, traj, target, arrived, feas, plan_ok
+        ), m
 
     def plan_cycle(carry: TrafficCarry, _):
         lc = carry.loop
-        res = em_planner.plan_path_cycle(
-            global_path, lc.ego, lc.obstacles, lc.match_index, cfg
-        )
-        plan_ok = _all_finite(res.target)
+        if full:
+            res_full = em_planner.plan_full_cycle(
+                global_path, lc.ego, lc.obstacles, lc.match_index, cfg
+            )
+            res = res_full.path
+            plan_ok = _all_finite(res.target) & _all_finite(
+                (res_full.trajectory.speed, res_full.trajectory.time)
+            )
+            traj = res_full.trajectory._replace(
+                speed=jnp.nan_to_num(res_full.trajectory.speed),
+                time=jnp.nan_to_num(res_full.trajectory.time),
+            )
+        else:
+            res = em_planner.plan_path_cycle(
+                global_path, lc.ego, lc.obstacles, lc.match_index, cfg
+            )
+            plan_ok = _all_finite(res.target)
+            traj = None
         target = _sanitize(res.target)
         cs = lc.ctrl.rebind()
-        (ego, cs, obs, npc_idx, _, arrived, _, _), metrics = jax.lax.scan(
-            control_tick,
-            (lc.ego, cs, lc.obstacles, carry.npc_path_index, target,
-             lc.arrived, res.feasible, plan_ok),
-            None,
-            length=lp.plan_every,
+        (ego, cs, obs, npc_idx, lane, _, _, arrived, _, _), metrics = (
+            jax.lax.scan(
+                control_tick,
+                (lc.ego, cs, lc.obstacles, carry.npc_path_index,
+                 carry.npc_lane, traj, target, lc.arrived, res.feasible,
+                 plan_ok),
+                jnp.arange(lp.plan_every),
+            )
         )
         return (
             TrafficCarry(
-                LoopCarry(ego, cs, res.match_index, obs, arrived), npc_idx
+                LoopCarry(ego, cs, res.match_index, obs, arrived),
+                npc_idx,
+                lane,
             ),
             metrics,
         )
@@ -312,6 +386,7 @@ def simulate_traffic(
             jnp.zeros((), bool),
         ),
         npc_idx0,
+        npc_mod.LaneState.init(K),
     )
     return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
 
@@ -396,11 +471,21 @@ def simulate_full(
         res = em_planner.plan_full_cycle(
             global_path, carry.ego, carry.obstacles, carry.match_index, cfg
         )
-        # finite guard covers both QP chains: the path and the merged
-        # time-parameterized trajectory
-        plan_ok = _all_finite(res.path.target) & _all_finite(res.trajectory)
+        # Finite guard covers both QP chains — but ONLY the channels the
+        # loop consumes (target pose + the trajectory's speed/time). The
+        # loop's lateral controller tracks `target`; the merged pose
+        # channels (trajectory x/y/theta/kappa) are a user-facing product
+        # the loop never reads, and guarding/sanitizing them forces XLA to
+        # materialize otherwise-dead interpolation work (measured: 23.3k ->
+        # 9.5k cycles/s on the full-EM bench).
+        plan_ok = _all_finite(res.path.target) & _all_finite(
+            (res.trajectory.speed, res.trajectory.time)
+        )
         target = _sanitize(res.path.target)
-        traj = _sanitize(res.trajectory)
+        traj = res.trajectory._replace(
+            speed=jnp.nan_to_num(res.trajectory.speed),
+            time=jnp.nan_to_num(res.trajectory.time),
+        )
         cs = carry.ctrl.rebind()
         (ego, cs, obs, _, _, arrived, _, _), metrics = jax.lax.scan(
             control_tick,
