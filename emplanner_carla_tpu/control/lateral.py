@@ -74,16 +74,18 @@ def safe_vx(s: EgoState, cfg: ControlConfig) -> Array:
     )
 
 
-def tracking_error(
-    s: EgoState,
-    target: Path,
-    min_index: Array,
-    cfg: ControlConfig,
-    full_search: bool = True,
-):
+def tracking_error(s: EgoState, target: Path, cfg: ControlConfig):
     """Predicted-pose tracking error e = (e_d, e_d', e_phi, e_phi'), the
-    projection curvature k_r, and the new match index
-    (``controller.py:488-567``)."""
+    projection curvature k_r, and the match index
+    (``controller.py:488-567``).
+
+    The reference's MPC restarts a 50-point windowed match from the last
+    tick's index (``controller.py:198``) — a CPU-latency optimization that
+    on TPU would *add* work (mask + same-width argmin) and a carried state.
+    The local target path is short (n_qp points), so a full branch-free
+    argmin per tick is both cheaper and robust across rebinds; the LQR side
+    of the reference already searches the full path (``controller.py:518``).
+    """
     vx = safe_vx(s, cfg)
     ts = cfg.ts_predict
     # kinematic prediction over one control latency (controller.py:505-508)
@@ -92,12 +94,6 @@ def tracking_error(
     phi = s.phi + s.omega * ts
 
     d2 = (target.x - x) ** 2 + (target.y - y) ** 2
-    if not full_search:
-        n = target.n
-        idx_range = jnp.arange(n)
-        lo = jnp.clip(min_index, 0, max(n - cfg.match_window, 0))
-        mask = (idx_range >= lo) & (idx_range < lo + cfg.match_window)
-        d2 = jnp.where(mask, d2, jnp.inf)
     idx = jnp.argmin(d2).astype(jnp.int32)
 
     tx, ty = jnp.cos(target.theta[idx]), jnp.sin(target.theta[idx])
@@ -207,11 +203,10 @@ def lqr_gain_table(
 def lqr_steer(
     s: EgoState,
     target: Path,
-    min_index: Array,
     vp: VehicleParams,
     cfg: ControlConfig,
 ):
-    """One LQR lateral control step -> (normalized steer, new match index)."""
+    """One LQR lateral control step -> (normalized steer, match index)."""
     vx = safe_vx(s, cfg)
     vx_grid_np, K_table_np = lqr_gain_table(vp, cfg)
     vx_grid = jnp.asarray(vx_grid_np)
@@ -220,7 +215,7 @@ def lqr_steer(
         K_table
     )  # (4,)
     K = K_row[None, :]
-    e, kappa, idx = tracking_error(s, target, min_index, cfg)
+    e, kappa, idx = tracking_error(s, target, cfg)
     delta = -(K @ e)[0] + lqr_feedforward(K, kappa, vx, vp)
     steer = jnp.clip(delta / vp.max_steer_rad, -cfg.steer_limit, cfg.steer_limit)
     return steer, idx
@@ -316,7 +311,6 @@ def mpc_tables(
 def mpc_steer(
     s: EgoState,
     target: Path,
-    min_index: Array,
     vp: VehicleParams,
     cfg: ControlConfig,
 ):
@@ -325,13 +319,13 @@ def mpc_steer(
     fixed-iteration box ADMM with the prefactored inverse; first control
     applied."""
     with jax.default_matmul_precision("highest"):
-        return _mpc_steer_table(s, target, min_index, vp, cfg)
+        return _mpc_steer_table(s, target, vp, cfg)
 
 
-def _mpc_steer_table(s, target, min_index, vp, cfg):
+def _mpc_steer_table(s, target, vp, cfg):
     rho = 1.0
     vx = safe_vx(s, cfg)
-    e, kappa, idx = tracking_error(s, target, min_index, cfg)
+    e, kappa, idx = tracking_error(s, target, cfg)
     vx_grid_np, Minv_np, G1_np, g2_np = mpc_tables(vp, cfg, rho=rho)
     vx_grid = jnp.asarray(vx_grid_np)
 
@@ -371,7 +365,6 @@ def _mpc_steer_table(s, target, min_index, vp, cfg):
 def mpc_steer_exact(
     s: EgoState,
     target: Path,
-    min_index: Array,
     vp: VehicleParams,
     cfg: ControlConfig,
 ):
@@ -379,13 +372,13 @@ def mpc_steer_exact(
     table-driven fast path)."""
     N, P_w, nx = cfg.mpc_n, cfg.mpc_p, 4
     with jax.default_matmul_precision("highest"):
-        return _mpc_steer_impl(s, target, min_index, vp, cfg, N, P_w, nx)
+        return _mpc_steer_impl(s, target, vp, cfg, N, P_w, nx)
 
 
-def _mpc_steer_impl(s, target, min_index, vp, cfg, N, P_w, nx):
+def _mpc_steer_impl(s, target, vp, cfg, N, P_w, nx):
     vx = safe_vx(s, cfg)
     A, B, C = error_state_model(vx, vp)
-    e, kappa, idx = tracking_error(s, target, min_index, cfg)
+    e, kappa, idx = tracking_error(s, target, cfg)
     A_d, B_d, T = discretize(A, B, cfg.ts_discretize)
     C_d = T @ C * cfg.ts_discretize * kappa * vx  # controller.py:165
 

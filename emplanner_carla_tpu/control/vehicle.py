@@ -18,16 +18,19 @@ from emplanner_carla_tpu.types import Array, EgoState, Path
 
 
 class ControllerState(NamedTuple):
+    """Carried controller state. The lateral side is stateless — the match
+    search is a full branch-free argmin over the short local path (see
+    ``lateral.tracking_error``) — so only the PID buffer persists."""
+
     pid: pid.PIDState
-    match_index: Array  # int32 carried lateral match index
 
     @classmethod
     def init(cls, cfg: ControlConfig):
-        return cls(pid.PIDState.init(cfg), jnp.zeros((), jnp.int32))
+        return cls(pid.PIDState.init(cfg))
 
     def rebind(self):
         """Controller rebind on replan (``test_9.py:415-417`` builds a fresh
-        Vehicle_control): reset the match index and the PID buffer (a fresh
+        Vehicle_control): reset the PID buffer (a fresh
         Longitudinal_PID_controller starts empty)."""
         p = self.pid
         zero = jnp.zeros((), jnp.int32)
@@ -35,7 +38,6 @@ class ControllerState(NamedTuple):
             pid.PIDState(
                 jnp.zeros_like(p.buffer), zero, zero, jnp.zeros_like(p.last_error)
             ),
-            zero,
         )
 
 
@@ -49,9 +51,9 @@ def run_step(
 ):
     """One control tick -> (steer, throttle, brake, new state)."""
     if cfg.kind == "MPC":
-        steer, idx = lateral.mpc_steer(ego, target, state.match_index, vp, cfg)
+        steer, _ = lateral.mpc_steer(ego, target, vp, cfg)
     else:
-        steer, idx = lateral.lqr_steer(ego, target, state.match_index, vp, cfg)
+        steer, _ = lateral.lqr_steer(ego, target, vp, cfg)
     cmd, pid_state = pid.pid_step(state.pid, ego.speed, target_speed_kmh, cfg)
     throttle, brake = pid.split_throttle_brake(cmd)
-    return steer, throttle, brake, ControllerState(pid_state, idx)
+    return steer, throttle, brake, ControllerState(pid_state)

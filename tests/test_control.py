@@ -46,12 +46,12 @@ def test_tracking_error_signs():
     n = 100
     target = frenet.path_from_xy(jnp.arange(n) * 2.0, jnp.zeros(n))
     e, kappa, idx = lateral.tracking_error(
-        make_ego(x=40.0, y=2.0), target, jnp.int32(0), CC
+        make_ego(x=40.0, y=2.0), target, CC
     )
     assert float(e[0]) == pytest.approx(2.0, abs=1e-3)
     assert float(kappa) == pytest.approx(0.0, abs=1e-6)
     e2, _, _ = lateral.tracking_error(
-        make_ego(x=40.0, y=0.0, phi=0.1, vx=10.0), target, jnp.int32(0), CC
+        make_ego(x=40.0, y=0.0, phi=0.1, vx=10.0), target, CC
     )
     assert float(e2[2]) == pytest.approx(np.sin(0.1), abs=1e-3)
 
@@ -62,14 +62,15 @@ def test_lateral_steer_direction(kind):
     n = 100
     target = frenet.path_from_xy(jnp.arange(n) * 2.0, jnp.zeros(n))
     fn = lateral.lqr_steer if kind == "LQR" else lateral.mpc_steer
-    s_left, _ = fn(make_ego(x=40.0, y=2.0), target, jnp.int32(0), VP, CC)
-    s_right, _ = fn(make_ego(x=40.0, y=-2.0), target, jnp.int32(0), VP, CC)
+    s_left, _ = fn(make_ego(x=40.0, y=2.0), target, VP, CC)
+    s_right, _ = fn(make_ego(x=40.0, y=-2.0), target, VP, CC)
     assert float(s_left) < -0.05
     assert float(s_right) > 0.05
 
 
 @pytest.mark.parametrize("kind,plant_kind", [
-    ("LQR", "kinematic"), ("LQR", "dynamic"), ("MPC", "kinematic"),
+    ("LQR", "kinematic"), ("LQR", "dynamic"),
+    ("MPC", "kinematic"), ("MPC", "dynamic"),
 ])
 def test_arc_tracking_converges(kind, plant_kind):
     """Track a R=200 m arc at 50 km/h: steady lateral error under 5 cm."""
@@ -158,8 +159,8 @@ def test_mpc_table_matches_exact():
     )
     for vx, y_off in [(5.0, 1.0), (13.9, -1.5), (20.0, 0.3)]:
         ego = make_ego(x=20.0, y=y_off, vx=vx)
-        s_fast, _ = lateral.mpc_steer(ego, target, jnp.int32(0), VP, CC)
-        s_exact, _ = lateral.mpc_steer_exact(ego, target, jnp.int32(0), VP, CC)
+        s_fast, _ = lateral.mpc_steer(ego, target, VP, CC)
+        s_exact, _ = lateral.mpc_steer_exact(ego, target, VP, CC)
         assert float(s_fast) == pytest.approx(float(s_exact), abs=0.02), (
             vx, y_off,
         )
