@@ -117,6 +117,17 @@ def main():
                     "unit": "cycles/s"})
     print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
+    # --- config 6: routed fleet — global paths from A* over the curved
+    # town (test_9.py:295-313's route-then-drive structure at fleet scale;
+    # host routing is setup, the timed region is the compiled drive) ---
+    rs = scenario.routed_scenarios(jax.random.PRNGKey(2), B, cfg)
+    sr = rs.scenario
+    t = timed(f5, sr.global_path, sr.ego0, sr.obstacles)
+    results.append({"config": "6_routed_fleet_full_em",
+                    "value": round(B * cfg.loop.n_plans / t, 1),
+                    "unit": "cycles/s"})
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
+
 
 if __name__ == "__main__":
     main()

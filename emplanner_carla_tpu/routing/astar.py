@@ -106,11 +106,17 @@ def astar_device(g: RoadGraph, start, goal):
     return parent, closed[goal]
 
 
-def stitch_route(g: RoadGraph, route: list[int]) -> np.ndarray:
+def stitch_route(g: RoadGraph, route: list[int], with_options: bool = False):
     """Concatenate the edge polylines along a node route into one (M, 2)
     global path (= ``search_path_way``'s stitching,
-    ``global_planning.py:246-272``), dropping duplicated junction points."""
+    ``global_planning.py:246-272``), dropping duplicated junction points.
+
+    With ``with_options`` also returns the per-point RoadOption tag
+    (the reference's ``[(waypoint, RoadOption)]`` contract,
+    ``global_planning.py:234-272``).
+    """
     pts: list[np.ndarray] = []
+    opts: list[np.ndarray] = []
     for a, b in zip(route[:-1], route[1:]):
         e = g.edge_between(a, b)
         if e < 0:
@@ -119,18 +125,28 @@ def stitch_route(g: RoadGraph, route: list[int]) -> np.ndarray:
         if pts:
             path = path[1:]  # junction point already emitted
         pts.append(path)
-    return np.concatenate(pts, axis=0)
+        opts.append(np.full(len(path), g.edge_option[e], np.int32))
+    path = np.concatenate(pts, axis=0)
+    if with_options:
+        return path, np.concatenate(opts, axis=0)
+    return path
 
 
 def plan_route(
-    g: RoadGraph, origin_xy, destination_xy, pad_to: int | None = None
+    g: RoadGraph,
+    origin_xy,
+    destination_xy,
+    pad_to: int | None = None,
+    with_options: bool = False,
 ):
     """origin/destination positions -> (x, y) global path arrays.
 
     The full ``search_path_way`` contract: locate endpoints on the graph,
     A*, stitch. Optionally pad (by repeating the final point) to a fixed
     length for the compiled pipeline's static shapes; returns
-    (x, y, n_valid).
+    (x, y, n_valid) — or (x, y, n_valid, options) with ``with_options``,
+    where options is the per-point RoadOption (padding repeats the final
+    tag), mirroring ``search_path_way``'s ``[(waypoint, RoadOption)]``.
     """
     start = g.nearest_node(*origin_xy)
     goal = g.nearest_node(*destination_xy)
@@ -139,14 +155,21 @@ def plan_route(
         raise ValueError(f"node {goal} not reachable from {start}")
     if len(route) == 1:
         path = g.nodes_xy[route[0]][None, :]
+        options = np.zeros(1, np.int32)
     else:
-        path = stitch_route(g, route)
+        path, options = stitch_route(g, route, with_options=True)
     n = len(path)
     if pad_to is not None:
         if n > pad_to:
             path = path[:pad_to]
+            options = options[:pad_to]
             n = pad_to
         else:
             pad = np.repeat(path[-1:], pad_to - n, axis=0)
             path = np.concatenate([path, pad], axis=0)
+            options = np.concatenate(
+                [options, np.repeat(options[-1:], pad_to - n)], axis=0
+            )
+    if with_options:
+        return path[:, 0], path[:, 1], n, options
     return path[:, 0], path[:, 1], n

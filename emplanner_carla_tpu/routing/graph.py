@@ -173,6 +173,105 @@ def grid_town(
     return build_graph(segs, resolution)
 
 
+def grid_town_curved(
+    blocks: int = 3,
+    block_size: float = 80.0,
+    radius: float = 15.0,
+    resolution: float = 2.0,
+) -> RoadGraph:
+    """A Manhattan grid with *filleted* intersections: streets are trimmed
+    by ``radius`` and junctions carry explicit connector edges — straight-
+    through (STRAIGHT) and quarter-arc turns (LEFT/RIGHT) — the same
+    junction topology CARLA's map exposes (arc connectors between lane
+    segments, ``global_planning.py:57-76`` walks them) and the structure
+    that makes RoadOption tags meaningful. Max curvature 1/radius keeps
+    the Frenet validity margin (|kappa| * corridor halfwidth < 1) for
+    closed-loop driving through turns, unlike ``grid_town``'s sharp
+    corners (kept for pure-routing tests).
+    """
+    segs: list[tuple[np.ndarray, RoadOption]] = []
+    n = blocks + 1
+    r = radius
+    bs = block_size
+
+    def street(p0, p1):
+        a = np.array([p0, p1], np.float64)
+        segs.append((a, RoadOption.LANE_FOLLOW))
+        segs.append((a[::-1], RoadOption.LANE_FOLLOW))
+
+    # trimmed streets between adjacent intersections
+    for i in range(n):
+        for j in range(n):
+            x0, y0 = i * bs, j * bs
+            if i + 1 < n:
+                street((x0 + r, y0), (x0 + bs - r, y0))
+            if j + 1 < n:
+                street((x0, y0 + r), (x0, y0 + bs - r))
+
+    # junction connectors. Incoming direction d (unit vector pointing INTO
+    # the junction); the entry point is c - r*d. For each outgoing
+    # direction o (pointing OUT), the exit point is c + r*o.
+    dirs = {
+        "E": np.array([1.0, 0.0]),
+        "W": np.array([-1.0, 0.0]),
+        "N": np.array([0.0, 1.0]),
+        "S": np.array([0.0, -1.0]),
+    }
+
+    def cross2(a, b):
+        return float(a[0] * b[1] - a[1] * b[0])
+
+    def arc(p_in, d_in, p_out, d_out):
+        """Quarter arc from p_in (heading d_in) to p_out (heading d_out)."""
+        # centre is perpendicular-offset r from both endpoints
+        turn_left = cross2(d_in, d_out) > 0
+        normal = np.array([-d_in[1], d_in[0]]) * (1.0 if turn_left else -1.0)
+        centre = p_in + r * normal
+        a0 = np.arctan2(*(p_in - centre)[::-1])
+        a1 = np.arctan2(*(p_out - centre)[::-1])
+        if turn_left:
+            while a1 <= a0:
+                a1 += 2 * np.pi
+        else:
+            while a1 >= a0:
+                a1 -= 2 * np.pi
+        t = np.linspace(a0, a1, 16)
+        return np.stack(
+            [centre[0] + r * np.cos(t), centre[1] + r * np.sin(t)], axis=1
+        )
+
+    for i in range(n):
+        for j in range(n):
+            c = np.array([i * bs, j * bs])
+            exists = {
+                "E": i + 1 < n, "W": i > 0, "N": j + 1 < n, "S": j > 0,
+            }
+            for d_name, d in dirs.items():
+                # traffic arriving while travelling in direction d enters
+                # the junction from the side -d; that street exists iff the
+                # opposite-name street exists
+                opp = {"E": "W", "W": "E", "N": "S", "S": "N"}[d_name]
+                if not exists[opp]:
+                    continue
+                p_in = c - r * d
+                for o_name, o in dirs.items():
+                    if o_name == opp or not exists[o_name]:
+                        continue  # no U-turns; must have an exit street
+                    p_out = c + r * o
+                    if o_name == d_name:
+                        seg = np.array([p_in, p_out])
+                        opt = RoadOption.STRAIGHT
+                    else:
+                        seg = arc(p_in, d, p_out, o)
+                        opt = (
+                            RoadOption.LEFT
+                            if cross2(d, o) > 0
+                            else RoadOption.RIGHT
+                        )
+                    segs.append((seg, opt))
+    return build_graph(segs, resolution, max_degree=6)
+
+
 def ring_town(
     radius: float = 120.0, n_spokes: int = 4, resolution: float = 2.0
 ) -> RoadGraph:

@@ -61,6 +61,9 @@ def place_on_path(path: Path, s: Array, l: Array):
     return x - l * jnp.sin(theta), y + l * jnp.cos(theta), theta
 
 
+WALKER_SPEED = 1.4  # m/s, typical crossing pedestrian
+
+
 def make_scenario(
     key: Array,
     cfg: EMConfig,
@@ -70,12 +73,45 @@ def make_scenario(
     n_active_static: int = 3,
     with_dynamic: bool = True,
     npc_speed: float = 30.0 / 3.6,
+    with_walker: bool = False,
 ) -> Scenario:
     """One randomized scenario mirroring the test_9 layout: ego at the path
-    start, a few parked cars near the line ahead, one slower lead NPC."""
+    start, a few parked cars near the line ahead, one slower lead NPC.
+    ``with_walker`` adds a crossing pedestrian (the walker actors of
+    ``simulation_2.py:391-494``) in the second dynamic slot."""
+    # (4-way split kept for stream-compatibility with round-1 seeds)
     k_path, k_s, k_l, k_dyn = jax.random.split(key, 4)
     gp = synthetic_centerline(k_path, n_path, path_ds)
+    return _place(
+        k_s, k_l, k_dyn, cfg, gp, jnp.float32(n_path * path_ds), v0,
+        n_active_static, with_dynamic, npc_speed, with_walker,
+    )
 
+
+def populate_scenario(
+    key: Array,
+    cfg: EMConfig,
+    gp: Path,
+    s_extent: Array,
+    v0: float = 8.0,
+    n_active_static: int = 3,
+    with_dynamic: bool = True,
+    npc_speed: float = 30.0 / 3.6,
+    with_walker: bool = False,
+) -> Scenario:
+    """Place the ego and the obstacle layout along a given global path
+    (synthetic or routed). ``s_extent``: usable arc length of the path."""
+    k_s, k_l, k_dyn = jax.random.split(key, 3)
+    return _place(
+        k_s, k_l, k_dyn, cfg, gp, s_extent, v0, n_active_static,
+        with_dynamic, npc_speed, with_walker,
+    )
+
+
+def _place(
+    k_s, k_l, k_dyn, cfg, gp, s_extent, v0, n_active_static, with_dynamic,
+    npc_speed, with_walker=False,
+) -> Scenario:
     K = cfg.n_static_obs + cfg.n_dynamic_obs
     slot = jnp.arange(K)
     is_static_slot = slot < cfg.n_static_obs
@@ -83,7 +119,7 @@ def make_scenario(
 
     # spread static obstacles over disjoint s bands so they never stack on
     # the spawn point or each other
-    s_max = min(300.0, n_path * path_ds - 100.0)
+    s_max = jnp.minimum(300.0, s_extent - 100.0)
     band = (s_max - 60.0) / max(cfg.n_static_obs, 1)
     obs_s = (
         60.0
@@ -97,11 +133,25 @@ def make_scenario(
     obs_s = jnp.where(dyn_slot, dyn_s0, obs_s)
     obs_l = jnp.where(dyn_slot, 0.0, obs_l)
 
+    # crossing pedestrian in the second dynamic slot: spawns off the road
+    # and walks across it perpendicular to the path
+    # (simulation_2.py:391-494 spawns walker actors; slots at walking speed
+    # are stepped as constant-velocity crossers, not vehicle agents)
+    walker_slot = slot == cfg.n_static_obs + 1
+    k_walk = jax.random.fold_in(k_dyn, 1)
+    walk_s = jax.random.uniform(k_walk, (), minval=65.0, maxval=85.0)
+    obs_s = jnp.where(walker_slot, walk_s, obs_s)
+    obs_l = jnp.where(walker_slot, -8.0, obs_l)
+
     ox, oy, oth = place_on_path(gp, obs_s, obs_l)
     dyn_active = dyn_slot & with_dynamic
+    walker_active = walker_slot & with_walker
     ovx = jnp.where(dyn_active, npc_speed * jnp.cos(oth), 0.0)
     ovy = jnp.where(dyn_active, npc_speed * jnp.sin(oth), 0.0)
-    valid = (is_static_slot & static_active) | dyn_active
+    # walker velocity: along the +l path normal (-sin, cos), crossing the road
+    ovx = jnp.where(walker_active, -WALKER_SPEED * jnp.sin(oth), ovx)
+    ovy = jnp.where(walker_active, WALKER_SPEED * jnp.cos(oth), ovy)
+    valid = (is_static_slot & static_active) | dyn_active | walker_active
     obstacles = Obstacles(ox, oy, ovx, ovy, valid)
 
     z = jnp.zeros(())
@@ -115,3 +165,91 @@ def batch_scenarios(key: Array, batch: int, cfg: EMConfig, **kw) -> Scenario:
     """A vmapped batch of randomized scenarios (the fleet input)."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: make_scenario(k, cfg, **kw))(keys)
+
+
+class RoutedScenarios(NamedTuple):
+    """A fleet whose global paths come from A* routes over a road graph."""
+
+    scenario: Scenario      # batched; global_path padded to a fixed length
+    road_option: Array      # (B, pad_to) int32 RoadOption per path point
+    n_valid: Array          # (B,) valid path-point counts
+
+
+def routed_scenarios(
+    key: Array,
+    batch: int,
+    cfg: EMConfig,
+    town=None,
+    pad_to: int = 256,
+    min_points: int = 120,
+    **kw,
+) -> RoutedScenarios:
+    """Fleet scenarios routed through a town with A* (the reference routes
+    the town before every drive, ``test_9.py:295-313``: search_path_way ->
+    waypoint path -> planner). Host-side route search + stitching (routing
+    is per-scenario setup, SURVEY §7.1); obstacle placement and everything
+    downstream is the same compiled path as ``batch_scenarios``.
+
+    Surfaces the per-point RoadOption stream (``search_path_way``'s
+    ``[(waypoint, RoadOption)]`` contract, ``global_planning.py:234-272``).
+    """
+    import numpy as np
+
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.routing import astar, graph as graph_mod
+
+    if town is None:
+        town = graph_mod.grid_town_curved()
+    k_route, k_pop = jax.random.split(key)
+    rng = np.random.default_rng(int(jax.random.randint(k_route, (), 0, 2**31 - 1)))
+
+    N = town.n_nodes
+    route_cache: dict[tuple[int, int], tuple] = {}
+    xs, ys, opts, ns = [], [], [], []
+    while len(xs) < batch:
+        o, d = rng.integers(0, N, 2)
+        if o == d:
+            continue
+        pair = (int(o), int(d))
+        if pair not in route_cache:
+            try:
+                route_cache[pair] = astar.plan_route(
+                    town,
+                    tuple(town.nodes_xy[o]),
+                    tuple(town.nodes_xy[d]),
+                    pad_to=pad_to,
+                    with_options=True,
+                )
+            except ValueError:
+                route_cache[pair] = None
+        r = route_cache[pair]
+        if r is None or r[2] < min_points:
+            continue
+        x, y, n, opt = r
+        xs.append(x)
+        ys.append(y)
+        opts.append(opt)
+        ns.append(n)
+
+    x_all = jnp.asarray(np.stack(xs), jnp.float32)   # (B, pad_to)
+    y_all = jnp.asarray(np.stack(ys), jnp.float32)
+    n_valid = jnp.asarray(np.asarray(ns), jnp.int32)
+    options = jnp.asarray(np.stack(opts), jnp.int32)
+
+    gps = jax.vmap(frenet.path_from_xy)(x_all, y_all)
+    # hold the last valid heading/curvature through the padded tail (the
+    # repeated end point would otherwise yield theta = kappa = 0 there)
+    idx = jnp.minimum(jnp.arange(pad_to)[None, :], n_valid[:, None] - 1)
+    gps = gps._replace(
+        theta=jnp.take_along_axis(gps.theta, idx, axis=1),
+        kappa=jnp.take_along_axis(gps.kappa, idx, axis=1),
+    )
+
+    keys = jax.random.split(k_pop, batch)
+    resolution = 2.0  # graph resample spacing
+    sc = jax.vmap(
+        lambda k, gp, n: populate_scenario(
+            k, cfg, gp, n.astype(jnp.float32) * resolution, **kw
+        )
+    )(keys, gps, n_valid)
+    return RoutedScenarios(sc, options, n_valid)

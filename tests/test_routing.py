@@ -76,6 +76,76 @@ def test_ring_town_routes():
     assert n > 50  # out a spoke, around the ring, in a spoke
 
 
+def test_grid_town_curved_structure():
+    g = graph.grid_town_curved(blocks=2, block_size=80.0, radius=15.0)
+    opts = set(int(o) for o in g.edge_option)
+    assert int(graph.RoadOption.LEFT) in opts
+    assert int(graph.RoadOption.RIGHT) in opts
+    assert int(graph.RoadOption.STRAIGHT) in opts
+    # curvature bounded by the fillet radius on every edge
+    for e in range(g.n_edges):
+        p = g.edge_path[e, : g.edge_n[e]]
+        if len(p) < 3:
+            continue
+        v = np.diff(p, axis=0)
+        th = np.unwrap(np.arctan2(v[:, 1], v[:, 0]))
+        ds = np.hypot(v[:, 0], v[:, 1])
+        kappa = np.abs(np.diff(th)) / ds[1:]
+        assert kappa.max() < 1.0 / 15.0 + 0.02, f"edge {e}"
+
+
+def test_plan_route_surfaces_road_options():
+    """plan_route must expose the [(waypoint, RoadOption)] contract
+    (global_planning.py:234-272): a route through a curved-town corner
+    carries LEFT/RIGHT tags at the junction arcs."""
+    g = graph.grid_town_curved(blocks=2, block_size=80.0)
+    x, y, n, opt = astar.plan_route(
+        g, (0.0, 0.0), (160.0, 160.0), pad_to=400, with_options=True
+    )
+    assert opt.shape == x.shape
+    kinds = set(int(v) for v in opt[:n])
+    assert int(graph.RoadOption.LANE_FOLLOW) in kinds
+    assert kinds & {int(graph.RoadOption.LEFT), int(graph.RoadOption.RIGHT),
+                    int(graph.RoadOption.STRAIGHT)}
+    # padding repeats the final tag
+    assert np.all(opt[n:] == opt[n - 1])
+
+
+def test_routed_fleet_closed_loop():
+    """Routed global paths (A* over the curved town) must drive the whole
+    closed loop: the fleet analogue of test_9.py:295-313's route-then-drive
+    structure."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from emplanner_carla_tpu.config import EMConfig
+    from emplanner_carla_tpu.sim import closed_loop, scenario
+
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=6)
+    )
+    rs = scenario.routed_scenarios(
+        jax.random.PRNGKey(3), 4, cfg, with_dynamic=False, n_active_static=2
+    )
+    assert rs.scenario.global_path.x.shape == (4, 256)
+    sim = jax.vmap(lambda gp, e, o: closed_loop.simulate(gp, e, o, cfg))
+    carry, metrics = sim(
+        rs.scenario.global_path, rs.scenario.ego0, rs.scenario.obstacles
+    )
+    lat = np.asarray(metrics.lateral_err)
+    assert np.all(np.isfinite(lat))
+    assert np.sqrt((lat**2).mean()) < 0.6
+    assert not np.asarray(metrics.collided).any()
+    # every ego makes progress along its route
+    dist = np.hypot(
+        np.asarray(carry.ego.x) - np.asarray(rs.scenario.ego0.x),
+        np.asarray(carry.ego.y) - np.asarray(rs.scenario.ego0.y),
+    )
+    assert np.all(dist > 40.0)
+
+
 def test_route_feeds_planner(town):
     """A routed global path must drive the EM planner end-to-end."""
     import jax
