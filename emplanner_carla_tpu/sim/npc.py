@@ -77,6 +77,102 @@ def idm_accel(
     )
 
 
+LANE_WIDTH = 3.5
+LANE_CHANGE_RATE = 1.75  # lateral offset slew (m/s): one lane in ~2 s
+
+
+class LaneState(NamedTuple):
+    """Carried lane-change state per NPC: current lateral offset from its
+    lane centre and the commanded target offset (the fixed-shape analogue
+    of ``BehaviorAgent``'s overtake/tailgating lane reassignment,
+    ``behavior_agent.py:150-199``)."""
+
+    offset: Array
+    target: Array
+
+    @classmethod
+    def init(cls, k: int):
+        z = jnp.zeros(k, jnp.float32)
+        return cls(z, z)
+
+
+def lane_change_decision(
+    lane: LaneState,
+    gap_own: Array,
+    v_lead_own: Array,
+    v_self: Array,
+    left_free: Array,
+    right_free: Array,
+    own_free: Array,
+    p: BehaviorPreset,
+) -> LaneState:
+    """Overtake-pressure lane selection (``behavior_agent.py:150-199``:
+    `_overtake` moves out when blocked behind a slower vehicle and the
+    target lane is clear; `_tailgating`'s pressure threshold is the
+    headway-scaled gap). Left lane preferred, as in the reference.
+
+    ``gap_own``/``v_lead_own``: lead in the NPC's *own* lane corridor;
+    ``own_free``: the own-lane corridor is clear enough to merge back.
+    """
+    press_gap = p.min_distance + v_self * p.safety_time
+    blocked = (gap_own < 1.5 * press_gap) & (v_lead_own < 0.8 * p.max_speed)
+    in_lane = jnp.abs(lane.target) < 0.1
+    go_left = blocked & in_lane & left_free
+    go_right = blocked & in_lane & ~left_free & right_free
+    target = jnp.where(
+        go_left,
+        LANE_WIDTH,
+        jnp.where(go_right, -LANE_WIDTH, lane.target),
+    )
+    # merge back once the own lane is clear again
+    target = jnp.where(~in_lane & own_free, 0.0, target)
+    return LaneState(lane.offset, target)
+
+
+def lateral_offset_on_path(s: EgoState, path: Path, idx: Array) -> Array:
+    """The NPC's current lateral offset from its path (+ = path-normal
+    (-sin, cos) side), measured at node ``idx``."""
+    th = path.theta[idx]
+    return -(s.x - path.x[idx]) * jnp.sin(th) + (s.y - path.y[idx]) * jnp.cos(th)
+
+
+def slew_lane(lane: LaneState, dt: float) -> LaneState:
+    """Move the actual offset toward the target at the lane-change rate."""
+    d = jnp.clip(
+        lane.target - lane.offset,
+        -LANE_CHANGE_RATE * dt,
+        LANE_CHANGE_RATE * dt,
+    )
+    return LaneState(lane.offset + d, lane.target)
+
+
+def corridor_free(
+    npc: EgoState,
+    lateral_shift: Array,
+    others_x: Array,
+    others_y: Array,
+    others_valid: Array,
+    back: float = 8.0,
+    ahead: float = 20.0,
+    half_width: float = 1.8,
+) -> Array:
+    """Is the laterally shifted corridor clear of other actors? (the
+    reference's `_vehicle_obstacle_detected` on the candidate lane,
+    ``basic_agent.py:251``)."""
+    ux, uy = jnp.cos(npc.phi), jnp.sin(npc.phi)
+    nx, ny = -uy, ux
+    cx = npc.x + lateral_shift * nx
+    cy = npc.y + lateral_shift * ny
+    dx = others_x - cx
+    dy = others_y - cy
+    d_long = dx * ux + dy * uy
+    d_lat = -dx * uy + dy * ux
+    occupied = others_valid & (d_long > -back) & (d_long < ahead) & (
+        jnp.abs(d_lat) < half_width
+    )
+    return ~jnp.any(occupied)
+
+
 def npc_step(
     state: NPCState,
     path: Path,
@@ -85,16 +181,21 @@ def npc_step(
     p: BehaviorPreset,
     vp: VehicleParams,
     dt: float,
+    lane_offset: Array = None,
 ) -> NPCState:
-    """One NPC tick: pure-pursuit steering + IDM accel + kinematic plant."""
+    """One NPC tick: pure-pursuit steering + IDM accel + kinematic plant.
+    ``lane_offset`` shifts the pursuit point off the path centre along the
+    path normal (lane-change support)."""
     s = state.ego
     # match + lookahead point (LocalPlanner's queue-popping role)
     idx = frenet.nearest_index_windowed(s.x, s.y, path, state.path_index, 32)
     look = jnp.clip(
         idx + 2 + (s.vx / 4.0).astype(jnp.int32), 0, path.n - 1
     )
-    dx = path.x[look] - s.x
-    dy = path.y[look] - s.y
+    off = jnp.zeros(()) if lane_offset is None else lane_offset
+    th_l = path.theta[look]
+    dx = path.x[look] - off * jnp.sin(th_l) - s.x
+    dy = path.y[look] + off * jnp.cos(th_l) - s.y
     # pure pursuit: steer toward the lookahead point
     alpha = jnp.arctan2(dy, dx) - s.phi
     alpha = jnp.arctan2(jnp.sin(alpha), jnp.cos(alpha))
@@ -122,13 +223,16 @@ def npc_step(
 
 def lead_info(
     npc: EgoState, others_x: Array, others_y: Array, others_v: Array,
-    others_valid: Array,
+    others_valid: Array, lateral_shift: Array = 0.0,
 ):
-    """Nearest vehicle ahead of the NPC within its lane corridor -> (gap,
-    speed). Others include the ego and the rest of the fleet."""
-    dx = others_x - npc.x
-    dy = others_y - npc.y
+    """Nearest vehicle ahead of the NPC within a lane corridor -> (gap,
+    speed). Others include the ego and the rest of the fleet.
+    ``lateral_shift`` recentres the corridor (e.g. onto the intended lane
+    during a lane change)."""
     ux, uy = jnp.cos(npc.phi), jnp.sin(npc.phi)
+    nx, ny = -uy, ux
+    dx = others_x - (npc.x + lateral_shift * nx)
+    dy = others_y - (npc.y + lateral_shift * ny)
     d_long = dx * ux + dy * uy
     d_lat = -dx * uy + dy * ux
     ahead = others_valid & (d_long > 0.5) & (jnp.abs(d_lat) < 2.0)
