@@ -152,6 +152,12 @@ class SpeedPlanConfig:
     n_dense: int = 401
     admm_iters: int = 120
     admm_rho: float = 1.0
+    # ST segments kept per cycle (valid-first, earliest t_in): the DP's
+    # obstacle-distance tensor is the full-EM cycle's largest term and
+    # scales linearly in segments; the reference never handles more than
+    # one crossing obstacle at a time (test_9.py spawns one NPC). Raise to
+    # n_dynamic_obs to disable compression.
+    st_top_m: int = 2
     # (a "grid" obstacle-cost mode — bilinear interpolation of a
     # precomputed (S, T) cost field — was measured only ~8% faster than the
     # fused exact distances at K=8 while flipping DP decisions in 2/6

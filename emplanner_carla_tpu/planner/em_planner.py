@@ -178,8 +178,15 @@ def plan_full_cycle(
         obstacles.vx[ds_:], obstacles.vy[ds_:], target, path_arc,
     )
 
-    # 3. ST graph -> DP -> convex space -> QP
+    # 3. ST graph -> DP -> convex space -> QP. Compress to the top-M
+    # segments (valid first, earliest time-in) before the DP: its
+    # obstacle-distance tensor scales linearly in segment slots and
+    # invalid slots still cost full distance evaluations.
     seg = speed_planner.st_graph(d_s, d_l, d_sdot, d_ldot, dyn_mask[ds_:], sp)
+    m_keep = min(sp.st_top_m, int(seg.valid.shape[-1]))
+    if m_keep < int(seg.valid.shape[-1]):
+        order = jnp.argsort(jnp.where(seg.valid, seg.t_in, jnp.inf))[:m_keep]
+        seg = jax.tree.map(lambda a: a[order], seg)
     dp = speed_planner.speed_dp(seg, s_dot0, sp)
     s_lb, s_ub, sd_lb, sd_ub = speed_planner.convex_space(
         dp, seg, path_arc, target.kappa, sp

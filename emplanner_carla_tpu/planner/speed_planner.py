@@ -85,21 +85,29 @@ def st_graph(
 
 def _seg_distance(s: Array, t: Array, seg: STSegments):
     """Min distance from (s, t) points to each obstacle segment
-    (``speed_planning_test.py:256-268``). s, t: (...,); returns (..., K)."""
+    (``speed_planning_test.py:256-268``). s, t: (...,); returns (..., K).
+
+    Arranged so only ONE sqrt runs per (sample, segment): the endpoint /
+    perpendicular selection happens on *squared* distances and the root is
+    taken of the selected value (the original 3-sqrt form measured ~25% of
+    the whole speed-DP cost — this tensor is the full-EM cycle's hottest
+    elementwise op)."""
     v1s = seg.s_in - s[..., None]
     v1t = seg.t_in - t[..., None]
     v2s = seg.s_out - s[..., None]
     v2t = seg.t_out - t[..., None]
     v3s = v2s - v1s
     v3t = v2t - v1t
-    d1 = jnp.sqrt(v1s**2 + v1t**2)
-    d2 = jnp.sqrt(v2s**2 + v2t**2)
-    nrm = jnp.sqrt(v3s**2 + v3t**2) + 1e-12
-    d_perp = jnp.abs(v1s * v3t - v1t * v3s) / nrm
+    d1_sq = v1s**2 + v1t**2
+    d2_sq = v2s**2 + v2t**2
+    nrm_sq = v3s**2 + v3t**2 + 1e-24
+    cross = v1s * v3t - v1t * v3s
+    d_perp_sq = cross * cross / nrm_sq
     p1 = v1s * v3s + v1t * v3t
     p2 = v2s * v3s + v2t * v3t
     endpoint = (p1 > 0) == (p2 > 0)
-    return jnp.where(endpoint, jnp.minimum(d1, d2), d_perp)
+    d_sq = jnp.where(endpoint, jnp.minimum(d1_sq, d2_sq), d_perp_sq)
+    return jnp.sqrt(d_sq)
 
 
 def _collision_cost(d: Array, cfg: SpeedPlanConfig) -> Array:
