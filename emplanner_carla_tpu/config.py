@@ -98,6 +98,10 @@ class PathPlanConfig:
     admm_iters: int = 120
     admm_rho: float = 1.0
     admm_sigma: float = 1e-6
+    # total ADMM iterations when warm-started from the previous cycle's
+    # carried state (closed loops only; cold solves use the admm_iters
+    # ladder)
+    warm_admm_iters: int = 120
 
     @property
     def n_enriched(self) -> int:
@@ -152,6 +156,10 @@ class SpeedPlanConfig:
     n_dense: int = 401
     admm_iters: int = 120
     admm_rho: float = 1.0
+    # total ADMM iterations when warm-started from the previous replan
+    # cycle's state (the closed loops carry it; cold solves use the
+    # admm_iters-derived ladder)
+    warm_admm_iters: int = 120
     # ST segments kept per cycle (valid-first, earliest t_in): the DP's
     # obstacle-distance tensor is the full-EM cycle's largest term and
     # scales linearly in segments; the reference never handles more than

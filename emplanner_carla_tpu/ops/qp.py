@@ -319,6 +319,8 @@ def make_prefactored_qp(
     use_pallas: bool = False,
     pallas_block: int = 128,
     pallas_interpret: bool = False,
+    warm: bool = False,
+    warm_iters_per_phase: int | None = None,
 ):
     """Build a constant-matrix QP solver: min 1/2 x'Px + q'x, l <= Ax <= u.
 
@@ -333,6 +335,13 @@ def make_prefactored_qp(
     With ``use_pallas=True`` the returned solver instead expects *batched*
     inputs (B, n)/(B, m) and runs the fused VMEM-resident kernel of
     qp_pallas.py (B must be a multiple of ``pallas_block``).
+
+    With ``warm=True`` the solver takes and returns the scaled-space ADMM
+    state: ``solve(q, l, u, state) -> (x, state)`` with
+    ``state = (x_s, z, y)``; seed the first call with ``warm_zero_state``.
+    Successive planner cycles solve near-identical problems, so carrying
+    the state lets ``warm_iters_per_phase`` (default ``iters_per_phase``)
+    be far smaller at equal fidelity — the closed-loop warm-start lever.
     """
     import numpy as np
 
@@ -358,12 +367,17 @@ def make_prefactored_qp(
     D_np_c = D
     E_np_c = E
     c_np_c = np.float32(c)
+    n_iters = (
+        warm_iters_per_phase
+        if (warm and warm_iters_per_phase is not None)
+        else iters_per_phase
+    )
 
-    def solve(q: Array, l: Array, u: Array) -> Array:
+    def solve(q: Array, l: Array, u: Array, state=None):
         with jax.default_matmul_precision("highest"):
-            return _solve(q, l, u)
+            return _solve(q, l, u, state)
 
-    def _solve(q: Array, l: Array, u: Array) -> Array:
+    def _solve(q: Array, l: Array, u: Array, state):
         At32 = jnp.asarray(At_np_c)
         D32 = jnp.asarray(D_np_c)
         E32 = jnp.asarray(E_np_c)
@@ -372,13 +386,22 @@ def make_prefactored_qp(
         qs = c32 * (D32 * q)
         ls = E32 * l
         us = E32 * u
-        x = jnp.zeros(n, jnp.float32)
-        z = jnp.clip(jnp.zeros(m, jnp.float32), ls, us)
-        y = jnp.zeros(m, jnp.float32)
+        if state is None:
+            x = jnp.zeros(n, jnp.float32)
+            z = jnp.clip(jnp.zeros(m, jnp.float32), ls, us)
+            y = jnp.zeros(m, jnp.float32)
+        else:
+            x, z, y = state
+            z = jnp.clip(z, ls, us)
+        # NOTE: warm solves keep the full rho ladder. A single final-rho
+        # phase was tried and measured much worse: the scan's FIRST cycle
+        # starts from the zero state, and rho=6 from zero never converges —
+        # the ladder is what rescues it (trip counts are static inside the
+        # scan, so cycle 0 and cycle k share one solver configuration).
 
         for rho_vec, Kinv in phase_consts:
-            def body(_, state, rho_vec=rho_vec, Kinv=Kinv):
-                x, z, y = state
+            def body(_, st, rho_vec=rho_vec, Kinv=Kinv):
+                x, z, y = st
                 rhs = sigma * x - qs + At32.T @ (rho_vec * z - y)
                 x_new = Kinv @ rhs
                 Ax = At32 @ x_new
@@ -387,10 +410,23 @@ def make_prefactored_qp(
                 y_new = y + rho_vec * (Ax_rel - z_new)
                 return x_new, z_new, y_new
 
-            x, z, y = jax.lax.fori_loop(0, iters_per_phase, body, (x, z, y))
+            x, z, y = jax.lax.fori_loop(0, n_iters, body, (x, z, y))
+        if warm:
+            return D32 * x, (x, z, y)
         return D32 * x
 
     return solve
+
+
+def warm_zero_state(n: int, m: int):
+    """Initial (scaled-space) ADMM state for a ``warm=True`` prefactored
+    solver: the cold start of the plain solver, minus the box clip on z
+    (applied inside the solve against the instance bounds)."""
+    return (
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(m, jnp.float32),
+        jnp.zeros(m, jnp.float32),
+    )
 
 
 def kkt_residuals(P, q, A, l, u, x):

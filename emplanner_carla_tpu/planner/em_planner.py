@@ -47,10 +47,29 @@ class PathPlanResult(NamedTuple):
     feasible: Array     # DP found a collision-free homotopy
     path_s: Array       # (n_qp,) stations of the target in local-line s
     path_l: Array       # (n_qp,) lateral offsets
+    qp_state: object = None  # path-QP ADMM warm state (when requested)
 
 
 def n_target(cfg: EMConfig) -> int:
     return cfg.path.n_qp
+
+
+def n_stations(cfg: EMConfig) -> int:
+    """Number of QP stations after the ::qp_downsample of the enriched DP."""
+    L = path_dp.enriched_length(cfg.path)
+    k = cfg.path.qp_downsample
+    return (L + k - 1) // k
+
+
+def warm_init(cfg: EMConfig, full: bool = False):
+    """Zero QP warm states for the closed loops: (path_qp_state,
+    speed_qp_state-or-None). Seed of the carried cross-cycle ADMM state
+    (the round-1 'known next lever')."""
+    from emplanner_carla_tpu.planner import speed_planner
+
+    path_state = path_qp.warm_state_init(n_stations(cfg))
+    speed_state = speed_planner.warm_state_init(cfg.speed) if full else None
+    return (path_state, speed_state)
 
 
 @partial(jax.jit, static_argnames=("cfg", "first_run"))
@@ -61,6 +80,7 @@ def plan_path_cycle(
     prev_match_index: Array,
     cfg: EMConfig,
     first_run: bool = False,
+    qp_warm=None,
 ) -> PathPlanResult:
     rl, pp = cfg.refline, cfg.path
 
@@ -110,18 +130,27 @@ def plan_path_cycle(
     # 8. corridor + QP
     l_min, l_max = path_qp.corridor(st_s, st_l, all_s, all_l, all_valid, pp)
     spacing = float(pp.sampling_res * pp.qp_downsample)
-    qp_l, qp_dl, qp_ddl = path_qp.path_qp(l_min, l_max, l0, dl0, ddl0, pp, spacing)
+    if qp_warm is not None:
+        qp_l, qp_dl, qp_ddl, qp_state = path_qp.path_qp(
+            l_min, l_max, l0, dl0, ddl0, pp, spacing, warm_state=qp_warm
+        )
+    else:
+        qp_l, qp_dl, qp_ddl = path_qp.path_qp(
+            l_min, l_max, l0, dl0, ddl0, pp, spacing
+        )
+        qp_state = None
 
     # 9. back to Cartesian + final smoothing (test_9.py:212-218)
     raw = frenet.frenet_to_cartesian(st_s, qp_l, qp_dl, qp_ddl, local, s_map)
     target = reference_line.smooth_local_path(raw.x, raw.y, rl)
 
-    return PathPlanResult(target, match_index, feasible, st_s, qp_l)
+    return PathPlanResult(target, match_index, feasible, st_s, qp_l, qp_state)
 
 
 class FullPlanResult(NamedTuple):
     path: PathPlanResult
     trajectory: "Trajectory"
+    speed_qp_state: object = None  # speed-QP ADMM warm state (when requested)
 
 
 @partial(jax.jit, static_argnames=("cfg", "first_run"))
@@ -132,6 +161,7 @@ def plan_full_cycle(
     prev_match_index: Array,
     cfg: EMConfig,
     first_run: bool = False,
+    qp_warm=None,
 ) -> FullPlanResult:
     """Path planning + S-T speed planning = the intended full EM cycle.
 
@@ -153,8 +183,10 @@ def plan_full_cycle(
     """
     from emplanner_carla_tpu.planner import speed_planner, trajectory as traj_mod
 
+    path_warm, speed_warm = qp_warm if qp_warm is not None else (None, None)
     res = plan_path_cycle(
-        global_path, ego, obstacles, prev_match_index, cfg, first_run=first_run
+        global_path, ego, obstacles, prev_match_index, cfg,
+        first_run=first_run, qp_warm=path_warm,
     )
     target = res.target
     sp = cfg.speed
@@ -191,11 +223,18 @@ def plan_full_cycle(
     s_lb, s_ub, sd_lb, sd_ub = speed_planner.convex_space(
         dp, seg, path_arc, target.kappa, sp
     )
-    qs, qv, qa, qt = speed_planner.speed_qp(
-        s_dot0, s_ddot0, s_lb, s_ub, sd_lb, sd_ub, sp
-    )
+    if speed_warm is not None:
+        qs, qv, qa, qt, speed_state = speed_planner.speed_qp(
+            s_dot0, s_ddot0, s_lb, s_ub, sd_lb, sd_ub, sp,
+            warm_state=speed_warm,
+        )
+    else:
+        qs, qv, qa, qt = speed_planner.speed_qp(
+            s_dot0, s_ddot0, s_lb, s_ub, sd_lb, sd_ub, sp
+        )
+        speed_state = None
 
     # 4. densify + merge
     s_d, v_d, a_d, t_d = speed_planner.densify_speed(qs, qv, qa, qt, sp)
     trajectory = traj_mod.merge(target, s_d, v_d, a_d, t_d)
-    return FullPlanResult(res, trajectory)
+    return FullPlanResult(res, trajectory, speed_state)

@@ -194,7 +194,7 @@ def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
 
 
 @lru_cache(maxsize=None)
-def _solver_for(n: int, ds: float, cfg: PathPlanConfig):
+def _solver_for(n: int, ds: float, cfg: PathPlanConfig, warm: bool = False):
     """Prefactored constant-matrix solver for this (n, ds, cfg) family."""
     P_np, A_np, eq_mask, front_index, back_index = _qp_constants(n, ds, cfg)
     q_typ = np.zeros(3 * n + n)  # [l, dl, ddl] x n + corridor slacks
@@ -202,8 +202,18 @@ def _solver_for(n: int, ds: float, cfg: PathPlanConfig):
     solve = qp.make_prefactored_qp(
         P_np, A_np, eq_mask, q_typical=q_typ,
         iters_per_phase=max(2 * cfg.admm_iters // 3, 60),
+        warm=warm,
+        warm_iters_per_phase=max(cfg.warm_admm_iters // 3, 1),
     )
     return solve, front_index, back_index
+
+
+def warm_state_init(n: int):
+    """Zero ADMM state for the n-station path QP (seed for the first
+    cycle's warm-started solve)."""
+    n_var = 4 * n                       # [l, dl, ddl] x n + n slacks
+    m = 2 * (n - 1) + 8 * n + 6 + n     # continuity + corners + pins + slack
+    return qp.warm_zero_state(n_var, m)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n", "ds"))
@@ -216,16 +226,21 @@ def path_qp(
     cfg: PathPlanConfig,
     ds: float,
     n: int | None = None,
+    warm_state=None,
 ):
     """Smooth l(s) inside the corridor (= ``Quadratic_planning``,
     ``path_planning.py:78-219``).
 
     ds is the true station spacing (quirk Q13 fixed). Returns
-    (l, dl, ddl) each (n,).
+    (l, dl, ddl) each (n,) — plus the new ADMM state when ``warm_state``
+    is given (successive replan cycles solve near-identical problems;
+    carrying the state across cycles lets the warm solve run
+    ``cfg.warm_admm_iters`` total iterations instead of the cold ladder).
     """
     if n is None:
         n = l_min.shape[-1]
-    solve, front_index, back_index = _solver_for(n, ds, cfg)
+    warm = warm_state is not None
+    solve, front_index, back_index = _solver_for(n, ds, cfg, warm)
     nv = 3 * n
 
     # linear cost: centre-line attraction (path_planning.py:198-205)
@@ -262,5 +277,8 @@ def path_qp(
          jnp.zeros(n)]
     )
 
+    if warm:
+        x, new_state = solve(q, l, u, warm_state)
+        return x[0:nv:3], x[1:nv:3], x[2:nv:3], new_state
     x = solve(q, l, u)
     return x[0:nv:3], x[1:nv:3], x[2:nv:3]

@@ -397,7 +397,7 @@ def _speed_qp_constants(cfg: SpeedPlanConfig):
 
 
 @lru_cache(maxsize=None)
-def _speed_solver(cfg: SpeedPlanConfig):
+def _speed_solver(cfg: SpeedPlanConfig, warm: bool = False):
     P_np, A_np, eq_mask = _speed_qp_constants(cfg)
     n = cfg.n_t + 1
     q_typ = np.zeros(3 * n)
@@ -405,7 +405,17 @@ def _speed_solver(cfg: SpeedPlanConfig):
     return qp.make_prefactored_qp(
         P_np, A_np, eq_mask, q_typical=q_typ,
         iters_per_phase=max(2 * cfg.admm_iters // 3, 60),
+        warm=warm,
+        warm_iters_per_phase=max(cfg.warm_admm_iters // 3, 1),
     )
+
+
+def warm_state_init(cfg: SpeedPlanConfig):
+    """Zero ADMM state for the speed QP (seed for the first cycle)."""
+    n = cfg.n_t + 1
+    nv = 3 * n
+    m = 2 * (n - 1) + (n - 1) + nv  # continuity + no-reverse + box rows
+    return qp.warm_zero_state(nv, m)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -417,6 +427,7 @@ def speed_qp(
     s_dot_lb: Array,
     s_dot_ub: Array,
     cfg: SpeedPlanConfig,
+    warm_state=None,
 ):
     """Smooth s(t) inside the convex space (= ``speed_QP``,
     ``speed_planning_test.py:403-511``; quirk Q6 fixed — the bounds are
@@ -435,7 +446,8 @@ def speed_qp(
     """
     n = cfg.n_t + 1
     nv = 3 * n
-    solve = _speed_solver(cfg)
+    warm = warm_state is not None
+    solve = _speed_solver(cfg, warm)
 
     dt = cfg.t_step
     margin = 1e-2
@@ -490,8 +502,11 @@ def speed_qp(
     l = jnp.concatenate([jnp.zeros(n_eq), jnp.full(n_mono, -BIG), lb])
     u = jnp.concatenate([jnp.zeros(n_eq), jnp.zeros(n_mono), ub])
 
-    x = solve(q, l, u)
     t = jnp.arange(n, dtype=jnp.float32) * cfg.t_step
+    if warm:
+        x, new_state = solve(q, l, u, warm_state)
+        return x[0::3], x[1::3], x[2::3], t, new_state
+    x = solve(q, l, u)
     return x[0::3], x[1::3], x[2::3], t
 
 

@@ -50,6 +50,11 @@ class LoopCarry(NamedTuple):
     match_index: Array
     obstacles: Obstacles
     arrived: Array
+    # (path_qp_state, speed_qp_state-or-None): the planner QPs' ADMM state
+    # carried across replan cycles — successive cycles solve near-identical
+    # problems, so the warm solve runs warm_admm_iters instead of the cold
+    # ladder (the round-1 "known next lever")
+    qp_warm: object = None
 
 
 COLLISION_RADIUS = 1.5
@@ -154,7 +159,8 @@ def simulate(
 
     def plan_cycle(carry: LoopCarry, _):
         res = em_planner.plan_path_cycle(
-            global_path, carry.ego, carry.obstacles, carry.match_index, cfg
+            global_path, carry.ego, carry.obstacles, carry.match_index, cfg,
+            qp_warm=carry.qp_warm[0],
         )
         plan_ok = _all_finite(res.target)
         target = _sanitize(res.target)
@@ -166,7 +172,13 @@ def simulate(
             None,
             length=lp.plan_every,
         )
-        return LoopCarry(ego, cs, res.match_index, obs, arrived), metrics
+        # sanitize the carried ADMM state: one NaN solve must not poison
+        # every subsequent cycle's warm start
+        return (
+            LoopCarry(ego, cs, res.match_index, obs, arrived,
+                      (_sanitize(res.qp_state), None)),
+            metrics,
+        )
 
     carry0 = LoopCarry(
         ego0,
@@ -174,6 +186,7 @@ def simulate(
         frenet.nearest_index(ego0.x, ego0.y, global_path),
         obstacles0,
         jnp.zeros((), bool),
+        em_planner.warm_init(cfg),
     )
     return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
 
@@ -338,7 +351,8 @@ def simulate_traffic(
         lc = carry.loop
         if full:
             res_full = em_planner.plan_full_cycle(
-                global_path, lc.ego, lc.obstacles, lc.match_index, cfg
+                global_path, lc.ego, lc.obstacles, lc.match_index, cfg,
+                qp_warm=lc.qp_warm,
             )
             res = res_full.path
             plan_ok = _all_finite(res.target) & _all_finite(
@@ -348,12 +362,15 @@ def simulate_traffic(
                 speed=jnp.nan_to_num(res_full.trajectory.speed),
                 time=jnp.nan_to_num(res_full.trajectory.time),
             )
+            qp_warm_new = _sanitize((res.qp_state, res_full.speed_qp_state))
         else:
             res = em_planner.plan_path_cycle(
-                global_path, lc.ego, lc.obstacles, lc.match_index, cfg
+                global_path, lc.ego, lc.obstacles, lc.match_index, cfg,
+                qp_warm=lc.qp_warm[0],
             )
             plan_ok = _all_finite(res.target)
             traj = None
+            qp_warm_new = (_sanitize(res.qp_state), None)
         target = _sanitize(res.target)
         cs = lc.ctrl.rebind()
         (ego, cs, obs, npc_idx, lane, _, _, arrived, _, _), metrics = (
@@ -367,7 +384,8 @@ def simulate_traffic(
         )
         return (
             TrafficCarry(
-                LoopCarry(ego, cs, res.match_index, obs, arrived),
+                LoopCarry(ego, cs, res.match_index, obs, arrived,
+                          qp_warm_new),
                 npc_idx,
                 lane,
             ),
@@ -384,6 +402,7 @@ def simulate_traffic(
             frenet.nearest_index(ego0.x, ego0.y, global_path),
             obstacles0,
             jnp.zeros((), bool),
+            em_planner.warm_init(cfg, full=full),
         ),
         npc_idx0,
         npc_mod.LaneState.init(K),
@@ -469,7 +488,8 @@ def simulate_full(
 
     def plan_cycle(carry: LoopCarry, _):
         res = em_planner.plan_full_cycle(
-            global_path, carry.ego, carry.obstacles, carry.match_index, cfg
+            global_path, carry.ego, carry.obstacles, carry.match_index, cfg,
+            qp_warm=carry.qp_warm,
         )
         # Finite guard covers both QP chains — but ONLY the channels the
         # loop consumes (target pose + the trajectory's speed/time). The
@@ -496,7 +516,8 @@ def simulate_full(
             jnp.arange(lp.plan_every),
         )
         return (
-            LoopCarry(ego, cs, res.path.match_index, obs, arrived),
+            LoopCarry(ego, cs, res.path.match_index, obs, arrived,
+                      _sanitize((res.path.qp_state, res.speed_qp_state))),
             metrics,
         )
 
@@ -506,6 +527,7 @@ def simulate_full(
         frenet.nearest_index(ego0.x, ego0.y, global_path),
         obstacles0,
         jnp.zeros((), bool),
+        em_planner.warm_init(cfg, full=True),
     )
     return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
 
