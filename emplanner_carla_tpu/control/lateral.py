@@ -96,13 +96,20 @@ def tracking_error(s: EgoState, target: Path, cfg: ControlConfig):
     d2 = (target.x - x) ** 2 + (target.y - y) ** 2
     idx = jnp.argmin(d2).astype(jnp.int32)
 
-    tx, ty = jnp.cos(target.theta[idx]), jnp.sin(target.theta[idx])
+    # one-hot node selection: a per-lane gather under vmap measured ~2x the
+    # plant step's cost; the multiply-sum is fused VPU work (see
+    # frenet._gather)
+    onehot = (jnp.arange(target.n) == idx).astype(target.x.dtype)
+    xm = jnp.sum(target.x * onehot)
+    ym = jnp.sum(target.y * onehot)
+    thm = jnp.sum(target.theta * onehot)
+    kappa = jnp.sum(target.kappa * onehot)
+    tx, ty = jnp.cos(thm), jnp.sin(thm)
     nx, ny = -ty, tx
-    dx, dy = x - target.x[idx], y - target.y[idx]
+    dx, dy = x - xm, y - ym
     e_d = nx * dx + ny * dy
     e_s = tx * dx + ty * dy
-    kappa = target.kappa[idx]
-    theta_r = target.theta[idx] + kappa * e_s
+    theta_r = thm + kappa * e_s
     e_d_dot = s.vy * jnp.cos(phi - theta_r) + vx * jnp.sin(phi - theta_r)
     e_phi = jnp.sin(phi - theta_r)  # sin() vs the wrap (controller.py:555)
     s_dot = (vx * jnp.cos(phi - theta_r) - s.vy * jnp.sin(phi - theta_r)) / (
@@ -200,6 +207,18 @@ def lqr_gain_table(
     return vx_grid.astype(np.float32), Ks.astype(np.float32)
 
 
+def _uniform_lerp(table_np, vx: Array, v0: float, dv: float) -> Array:
+    """Linear interpolation of a table sampled on a UNIFORM grid
+    v0 + i*dv: pure index arithmetic + two gathers. ``jnp.interp`` /
+    ``searchsorted`` here measured ~45% of the whole control tick inside
+    the vmapped scan — the search is pointless on a uniform grid."""
+    table = jnp.asarray(table_np)
+    pos = jnp.clip((vx - v0) / dv, 0.0, table.shape[0] - 1.0)
+    i = jnp.clip(pos.astype(jnp.int32), 0, table.shape[0] - 2)
+    w = pos - i.astype(pos.dtype)
+    return table[i] * (1.0 - w) + table[i + 1] * w
+
+
 def lqr_steer(
     s: EgoState,
     target: Path,
@@ -209,11 +228,9 @@ def lqr_steer(
     """One LQR lateral control step -> (normalized steer, match index)."""
     vx = safe_vx(s, cfg)
     vx_grid_np, K_table_np = lqr_gain_table(vp, cfg)
-    vx_grid = jnp.asarray(vx_grid_np)
-    K_table = jnp.asarray(K_table_np)
-    K_row = jax.vmap(lambda col: jnp.interp(vx, vx_grid, col), in_axes=1)(
-        K_table
-    )  # (4,)
+    v0 = float(vx_grid_np[0])
+    dv = float(vx_grid_np[1] - vx_grid_np[0])
+    K_row = _uniform_lerp(K_table_np, vx, v0, dv)  # (4,)
     K = K_row[None, :]
     e, kappa, idx = tracking_error(s, target, cfg)
     delta = -(K @ e)[0] + lqr_feedforward(K, kappa, vx, vp)
@@ -327,20 +344,12 @@ def _mpc_steer_table(s, target, vp, cfg):
     vx = safe_vx(s, cfg)
     e, kappa, idx = tracking_error(s, target, cfg)
     vx_grid_np, Minv_np, G1_np, g2_np = mpc_tables(vp, cfg, rho=rho)
-    vx_grid = jnp.asarray(vx_grid_np)
+    v0 = float(vx_grid_np[0])
+    dv = float(vx_grid_np[1] - vx_grid_np[0])
 
-    def lerp(tab_np):
-        tab = jnp.asarray(tab_np)
-        i = jnp.clip(
-            jnp.searchsorted(vx_grid, vx, side="right") - 1, 0,
-            tab.shape[0] - 2,
-        )
-        w = (vx - vx_grid[i]) / (vx_grid[i + 1] - vx_grid[i])
-        return tab[i] * (1.0 - w) + tab[i + 1] * w
-
-    Minv = lerp(Minv_np)
-    G1 = lerp(G1_np)
-    g2 = lerp(g2_np)
+    Minv = _uniform_lerp(Minv_np, vx, v0, dv)
+    G1 = _uniform_lerp(G1_np, vx, v0, dv)
+    g2 = _uniform_lerp(g2_np, vx, v0, dv)
     f = 2.0 * (G1 @ e + kappa * g2)  # (nu,)
 
     nu = f.shape[0]

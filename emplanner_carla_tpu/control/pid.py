@@ -20,8 +20,7 @@ from emplanner_carla_tpu.types import Array
 
 
 class PIDState(NamedTuple):
-    buffer: Array   # (pid_buffer,) ring of recent errors (km/h)
-    head: Array     # int32 next write slot
+    buffer: Array   # (pid_buffer,) recent errors (km/h), newest last
     count: Array    # int32 number of valid entries
     last_error: Array
 
@@ -29,7 +28,6 @@ class PIDState(NamedTuple):
     def init(cls, cfg: ControlConfig, dtype=jnp.float32):
         return cls(
             jnp.zeros(cfg.pid_buffer, dtype),
-            jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32),
             jnp.zeros((), dtype),
         )
@@ -40,10 +38,15 @@ def pid_step(
 ):
     """One PID tick -> (command, new state). Command > 0 ~ throttle,
     < 0 ~ brake (``Vehicle_control.run_step`` splits it,
-    ``controller.py:713-718``)."""
+    ``controller.py:713-718``).
+
+    The reference's error deque becomes a shift register (static slice +
+    concat) rather than a head-indexed ring: a per-lane write index under
+    ``vmap`` lowers to a TPU scatter, which measured as a dominant cost of
+    the whole control tick; the shift is a free layout change. The window
+    sum is unchanged (evicted slots are zero-filled on reset)."""
     error = target_kmh - 3.6 * speed_mps
-    buffer = state.buffer.at[state.head].set(error)
-    head = (state.head + 1) % cfg.pid_buffer
+    buffer = jnp.concatenate([state.buffer[1:], error[None]])
     count = jnp.minimum(state.count + 1, cfg.pid_buffer)
 
     have_two = count >= 2
@@ -55,10 +58,9 @@ def pid_step(
     integral = jnp.where(separate, 0.0, integral)
     buffer = jnp.where(separate, jnp.zeros_like(buffer), buffer)
     count = jnp.where(separate, 0, count)
-    head = jnp.where(separate, 0, head)
 
     cmd = cfg.kp * error + cfg.ki * integral + cfg.kd * deriv
-    return cmd, PIDState(buffer, head, count, error)
+    return cmd, PIDState(buffer, count, error)
 
 
 def split_throttle_brake(cmd: Array):

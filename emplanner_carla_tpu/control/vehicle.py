@@ -36,7 +36,7 @@ class ControllerState(NamedTuple):
         zero = jnp.zeros((), jnp.int32)
         return ControllerState(
             pid.PIDState(
-                jnp.zeros_like(p.buffer), zero, zero, jnp.zeros_like(p.last_error)
+                jnp.zeros_like(p.buffer), zero, jnp.zeros_like(p.last_error)
             ),
         )
 

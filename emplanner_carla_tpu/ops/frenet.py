@@ -127,7 +127,18 @@ def _gather(a: Array, idx: Array) -> Array:
     All ops in this module operate on a single scenario (path arrays are
     1-D); batching comes from ``jax.vmap`` at the pipeline level — the
     idiomatic JAX layering, as opposed to hand-threading batch axes.
+
+    Scalar-index lookups are lowered as a one-hot contraction instead of a
+    dynamic gather: under ``vmap`` a per-lane gather from a per-lane row
+    becomes a TPU scatter/gather op that measured ~2x the cost of the whole
+    plant step in the control tick, while the one-hot multiply-sum is a
+    handful of fused VPU ops at these path widths.
     """
+    if idx.ndim == 0 and a.ndim == 1 and a.shape[0] <= 1024:
+        onehot = (
+            jax.lax.iota(jnp.int32, a.shape[0]) == idx
+        ).astype(a.dtype)
+        return jnp.sum(a * onehot)
     return a[idx]
 
 

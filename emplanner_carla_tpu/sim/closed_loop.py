@@ -97,16 +97,23 @@ def simulate(
     ego0: EgoState,
     obstacles0: Obstacles,
     cfg: EMConfig,
+    lights=None,
 ) -> tuple[LoopCarry, TickMetrics]:
     """Run ``cfg.loop.n_plans`` replan cycles of ``cfg.loop.plan_every``
     control ticks each. Returns the final carry and per-tick metrics with
-    shape (n_plans, plan_every, ...)."""
+    shape (n_plans, plan_every, ...).
+
+    ``lights``: optional ``traffic_light.TrafficLights`` — a red light
+    ahead caps the target speed to stop at the line, like the reference's
+    BasicAgent red-light brake (``basic_agent.py:201-249``)."""
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+
     lp = cfg.loop
     target_speed = jnp.asarray(lp.target_speed_kmh, jnp.float32)
     dest_x, dest_y = global_path.x[-1], global_path.y[-1]
 
-    def control_tick(carry, _):
-        ego, cs, obs, target, arrived, feas, plan_ok = carry
+    def control_tick(carry, tick_idx):
+        ego, cs, obs, target, arrived, feas, plan_ok, t0 = carry
         # Longitudinal safety guard (time-headway ACC): cap the PID's target
         # speed against the nearest obstacle that lies ahead and laterally
         # within the ego's swept corridor. The reference has no longitudinal
@@ -127,6 +134,11 @@ def simulate(
             (d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0
         )
         tick_target = jnp.minimum(target_speed, v_cap_kmh)
+        if lights is not None:
+            t_abs = t0 + (tick_idx.astype(jnp.float32) + 1.0) * cfg.plant.dt
+            tick_target = jnp.minimum(
+                tick_target, 3.6 * tl_mod.red_light_cap(ego, lights, t_abs)
+            )
         # finite-output guard: a non-finite plan cannot be tracked -> stop
         tick_target = jnp.where(plan_ok, tick_target, 0.0)
         steer, throttle, brake, cs = vehicle.run_step(
@@ -155,22 +167,22 @@ def simulate(
             arrived,
             feas & plan_ok,
         )
-        return (ego, cs, obs, target, arrived, feas, plan_ok), m
+        return (ego, cs, obs, target, arrived, feas, plan_ok, t0), m
 
-    def plan_cycle(carry: LoopCarry, _):
+    def plan_cycle(carry: LoopCarry, cycle_idx):
         res = em_planner.plan_path_cycle(
             global_path, carry.ego, carry.obstacles, carry.match_index, cfg,
             qp_warm=carry.qp_warm[0],
         )
         plan_ok = _all_finite(res.target)
         target = _sanitize(res.target)
+        t0 = cycle_idx.astype(jnp.float32) * lp.plan_every * cfg.plant.dt
         cs = carry.ctrl.rebind()  # controller re-instantiation, test_9.py:415
-        (ego, cs, obs, _, arrived, _, _), metrics = jax.lax.scan(
+        (ego, cs, obs, _, arrived, _, _, _), metrics = jax.lax.scan(
             control_tick,
             (carry.ego, cs, carry.obstacles, target, carry.arrived,
-             res.feasible, plan_ok),
-            None,
-            length=lp.plan_every,
+             res.feasible, plan_ok, t0),
+            jnp.arange(lp.plan_every),
         )
         # sanitize the carried ADMM state: one NaN solve must not poison
         # every subsequent cycle's warm start
@@ -188,7 +200,9 @@ def simulate(
         jnp.zeros((), bool),
         em_planner.warm_init(cfg),
     )
-    return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
+    return jax.lax.scan(
+        plan_cycle, carry0, jnp.arange(lp.n_plans, dtype=jnp.int32)
+    )
 
 
 class TrafficCarry(NamedTuple):
@@ -205,6 +219,7 @@ def simulate_traffic(
     cfg: EMConfig,
     behavior: str = "normal",
     full: bool = False,
+    lights=None,
 ) -> tuple[TrafficCarry, TickMetrics]:
     """Closed loop with *agent-driven* NPCs instead of constant velocity.
 
@@ -219,9 +234,14 @@ def simulate_traffic(
     ``full=True`` runs the complete EM pipeline per replan (path + S-T
     speed planning, like ``simulate_full``) with the agent NPCs in the
     world — the agent-traffic analogue of test_10's intent.
+
+    ``lights``: optional TrafficLights; both the ego (red-light speed cap,
+    ``basic_agent.py:201-249``) and every NPC agent (red stop line treated
+    as a stationary IDM lead) obey them.
     """
     from emplanner_carla_tpu.planner import trajectory as traj_mod
     from emplanner_carla_tpu.sim import npc as npc_mod
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
 
     lp = cfg.loop
     preset = npc_mod.preset(behavior)
@@ -236,7 +256,7 @@ def simulate_traffic(
     speed0 = jnp.hypot(obstacles0.vx, obstacles0.vy)
     agent_slot = dyn_slot & (speed0 > 2.5)
 
-    def advance_npcs(ego, obs, npc_idx, lane, dt):
+    def advance_npcs(ego, obs, npc_idx, lane, dt, t_abs):
         is_agent = obs.valid & agent_slot
         lane = npc_mod.slew_lane(lane, dt)
 
@@ -264,6 +284,11 @@ def simulate_traffic(
                 st.ego, others_x, others_y, others_v, others_valid,
                 lateral_shift=slot_lane.target - l_now,
             )
+            if lights is not None:
+                # a red stop line is a stationary lead for the IDM
+                d_light = tl_mod.stop_distance(st.ego, lights, t_abs)
+                v_lead_tgt = jnp.where(d_light < gap_tgt, 0.0, v_lead_tgt)
+                gap_tgt = jnp.minimum(gap_tgt, d_light)
             left_free = npc_mod.corridor_free(
                 st.ego, npc_mod.LANE_WIDTH - l_now,
                 others_x, others_y, others_valid,
@@ -307,7 +332,9 @@ def simulate_traffic(
         )
 
     def control_tick(carry, tick_idx):
-        ego, cs, obs, npc_idx, lane, traj, target, arrived, feas, plan_ok = carry
+        (ego, cs, obs, npc_idx, lane, traj, target, arrived, feas, plan_ok,
+         t0) = carry
+        t_abs = t0 + (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
         vxw, vyw = ego.v_world
         spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
         ux, uy = vxw / spd, vyw / spd
@@ -317,6 +344,10 @@ def simulate_traffic(
         lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
         d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
         v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        if lights is not None:
+            v_cap = jnp.minimum(
+                v_cap, tl_mod.red_light_cap(ego, lights, t_abs)
+            )
         if full:
             t_rel = (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
             plan_speed = traj_mod.speed_at(traj, t_rel)
@@ -336,7 +367,9 @@ def simulate_traffic(
         throttle = jnp.where(stop, 0.0, throttle)
         brake = jnp.where(stop, 1.0, brake)
         ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
-        obs, npc_idx, lane = advance_npcs(ego, obs, npc_idx, lane, tick_dt)
+        obs, npc_idx, lane = advance_npcs(
+            ego, obs, npc_idx, lane, tick_dt, t_abs
+        )
         d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
         collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
         m = TickMetrics(
@@ -344,10 +377,11 @@ def simulate_traffic(
             ego.phi, collided, arrived, feas & plan_ok,
         )
         return (
-            ego, cs, obs, npc_idx, lane, traj, target, arrived, feas, plan_ok
+            ego, cs, obs, npc_idx, lane, traj, target, arrived, feas,
+            plan_ok, t0,
         ), m
 
-    def plan_cycle(carry: TrafficCarry, _):
+    def plan_cycle(carry: TrafficCarry, cycle_idx):
         lc = carry.loop
         if full:
             res_full = em_planner.plan_full_cycle(
@@ -372,13 +406,14 @@ def simulate_traffic(
             traj = None
             qp_warm_new = (_sanitize(res.qp_state), None)
         target = _sanitize(res.target)
+        t0 = cycle_idx.astype(jnp.float32) * lp.plan_every * tick_dt
         cs = lc.ctrl.rebind()
-        (ego, cs, obs, npc_idx, lane, _, _, arrived, _, _), metrics = (
+        (ego, cs, obs, npc_idx, lane, _, _, arrived, _, _, _), metrics = (
             jax.lax.scan(
                 control_tick,
                 (lc.ego, cs, lc.obstacles, carry.npc_path_index,
                  carry.npc_lane, traj, target, lc.arrived, res.feasible,
-                 plan_ok),
+                 plan_ok, t0),
                 jnp.arange(lp.plan_every),
             )
         )
@@ -407,7 +442,9 @@ def simulate_traffic(
         npc_idx0,
         npc_mod.LaneState.init(K),
     )
-    return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
+    return jax.lax.scan(
+        plan_cycle, carry0, jnp.arange(lp.n_plans, dtype=jnp.int32)
+    )
 
 
 def NPCStateAt(obs: Obstacles, npc_idx: Array, k: Array):
@@ -428,6 +465,7 @@ def simulate_full(
     ego0: EgoState,
     obstacles0: Obstacles,
     cfg: EMConfig,
+    lights=None,
 ) -> tuple[LoopCarry, TickMetrics]:
     """The FULL EM closed loop: path + S-T speed planning every replan, the
     controller tracking the time-parameterized trajectory.
@@ -442,13 +480,14 @@ def simulate_full(
     excludes (|l_dot| < 0.3, ``speed_planning_test.py:53``).
     """
     from emplanner_carla_tpu.planner import trajectory as traj_mod
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
 
     lp = cfg.loop
     dest_x, dest_y = global_path.x[-1], global_path.y[-1]
     tick_dt = cfg.plant.dt
 
     def control_tick(carry, tick_idx):
-        ego, cs, obs, traj, target, arrived, feas, plan_ok = carry
+        ego, cs, obs, traj, target, arrived, feas, plan_ok, t0 = carry
         t_rel = (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
         plan_speed = traj_mod.speed_at(traj, t_rel)  # m/s
         plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
@@ -463,6 +502,10 @@ def simulate_full(
         lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
         d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
         v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        if lights is not None:
+            v_cap = jnp.minimum(
+                v_cap, tl_mod.red_light_cap(ego, lights, t0 + t_rel)
+            )
         tick_target_kmh = 3.6 * jnp.minimum(plan_speed, v_cap)
 
         steer, throttle, brake, cs = vehicle.run_step(
@@ -484,9 +527,9 @@ def simulate_full(
             ego.x, ego.y, 3.6 * ego.speed, _lateral_error(ego, target),
             ego.phi, collided, arrived, feas & plan_ok,
         )
-        return (ego, cs, obs, traj, target, arrived, feas, plan_ok), m
+        return (ego, cs, obs, traj, target, arrived, feas, plan_ok, t0), m
 
-    def plan_cycle(carry: LoopCarry, _):
+    def plan_cycle(carry: LoopCarry, cycle_idx):
         res = em_planner.plan_full_cycle(
             global_path, carry.ego, carry.obstacles, carry.match_index, cfg,
             qp_warm=carry.qp_warm,
@@ -506,12 +549,13 @@ def simulate_full(
             speed=jnp.nan_to_num(res.trajectory.speed),
             time=jnp.nan_to_num(res.trajectory.time),
         )
+        t0 = cycle_idx.astype(jnp.float32) * lp.plan_every * tick_dt
         cs = carry.ctrl.rebind()
-        (ego, cs, obs, _, _, arrived, _, _), metrics = jax.lax.scan(
+        (ego, cs, obs, _, _, arrived, _, _, _), metrics = jax.lax.scan(
             control_tick,
             (
                 carry.ego, cs, carry.obstacles, traj,
-                target, carry.arrived, res.path.feasible, plan_ok,
+                target, carry.arrived, res.path.feasible, plan_ok, t0,
             ),
             jnp.arange(lp.plan_every),
         )
@@ -529,7 +573,9 @@ def simulate_full(
         jnp.zeros((), bool),
         em_planner.warm_init(cfg, full=True),
     )
-    return jax.lax.scan(plan_cycle, carry0, None, length=lp.n_plans)
+    return jax.lax.scan(
+        plan_cycle, carry0, jnp.arange(lp.n_plans, dtype=jnp.int32)
+    )
 
 
 def summarize(metrics: TickMetrics):

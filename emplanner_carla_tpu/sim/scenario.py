@@ -167,6 +167,28 @@ def batch_scenarios(key: Array, batch: int, cfg: EMConfig, **kw) -> Scenario:
     return jax.vmap(lambda k: make_scenario(k, cfg, **kw))(keys)
 
 
+def lights_on_path(
+    gp: Path,
+    s_positions,
+    period: float = 12.0,
+    green_frac: float = 0.5,
+    offsets=None,
+):
+    """Traffic lights at the given path stations (stop lines on the
+    centerline). Returns a ``traffic_light.TrafficLights``; pass it to the
+    closed loops' ``lights`` argument."""
+    from emplanner_carla_tpu.sim.traffic_light import TrafficLights
+
+    s = jnp.asarray(s_positions, jnp.float32)
+    x, y, _ = place_on_path(gp, s, jnp.zeros_like(s))
+    n = s.shape[0]
+    off = jnp.zeros(n) if offsets is None else jnp.asarray(offsets, jnp.float32)
+    return TrafficLights(
+        x, y, jnp.full(n, period), off, jnp.full(n, green_frac),
+        jnp.ones(n, bool),
+    )
+
+
 class RoutedScenarios(NamedTuple):
     """A fleet whose global paths come from A* routes over a road graph."""
 
