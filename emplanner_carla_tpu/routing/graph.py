@@ -272,6 +272,58 @@ def grid_town_curved(
     return build_graph(segs, resolution, max_degree=6)
 
 
+def multilane_highway(
+    n_lanes: int = 3,
+    lane_width: float = 3.5,
+    length: float = 400.0,
+    seg_len: float = 50.0,
+    resolution: float = 2.0,
+) -> RoadGraph:
+    """A one-way multi-lane highway with lane-change links.
+
+    The reference's upstream ``GlobalRoutePlanner`` models lane changes as
+    explicit graph edges between laterally adjacent waypoints, tagged
+    CHANGELANELEFT/RIGHT
+    (``/root/reference/agents/navigation/global_route_planner.py:185-229``);
+    the author's simplified L2 dropped them. This generator restores the
+    capability: each lane is a chain of ``seg_len`` segments (LANE_FOLLOW),
+    and every interior node also connects to the next station of each
+    adjacent lane via a smoothstep diagonal ramp (CHANGE_LANE_LEFT toward
+    +y, CHANGE_LANE_RIGHT toward -y; heading is +x, so +y is the left-hand
+    side). The ramp's true metric length exceeds ``seg_len``, which acts as
+    the natural lane-change penalty in A* — routes change lanes only when
+    the origin/destination demand it.
+
+    Lane ``k`` sits at y = k * lane_width; stations at x = i * seg_len.
+    """
+    if seg_len <= 2.0 * lane_width:
+        raise ValueError("seg_len must comfortably exceed lane_width")
+    segs: list[tuple[np.ndarray, RoadOption]] = []
+    n_seg = max(int(round(length / seg_len)), 1)
+    n_ramp = max(int(np.ceil(seg_len / resolution)) + 1, 8)
+    t = np.linspace(0.0, 1.0, n_ramp)
+    smooth = t * t * (3.0 - 2.0 * t)  # C1 lateral blend for the ramp
+
+    for lane in range(n_lanes):
+        y0 = lane * lane_width
+        for i in range(n_seg):
+            x0 = i * seg_len
+            a = np.array([[x0, y0], [x0 + seg_len, y0]])
+            segs.append((a, RoadOption.LANE_FOLLOW))
+            for dlane, opt in (
+                (+1, RoadOption.CHANGE_LANE_LEFT),
+                (-1, RoadOption.CHANGE_LANE_RIGHT),
+            ):
+                if not 0 <= lane + dlane < n_lanes:
+                    continue
+                ramp = np.stack(
+                    [x0 + t * seg_len, y0 + dlane * lane_width * smooth],
+                    axis=1,
+                )
+                segs.append((ramp, opt))
+    return build_graph(segs, resolution, max_degree=4)
+
+
 def ring_town(
     radius: float = 120.0, n_spokes: int = 4, resolution: float = 2.0
 ) -> RoadGraph:

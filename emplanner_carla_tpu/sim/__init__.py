@@ -1,4 +1,5 @@
 from emplanner_carla_tpu.sim import (  # noqa: F401
+    camera,
     closed_loop,
     perception,
     plant,

@@ -1,0 +1,213 @@
+"""Device-side synthetic cameras (the ``Sensors_camera_lib`` replacement).
+
+The reference mounts three CARLA camera actors on the ego and converts
+their BGRA frames for the pygame HUD
+(``/root/reference/sensors/Sensors_camera_lib.py``): an RGB camera (:98),
+a semantic-segmentation camera with the CityScapes palette (:51-97), and
+an optical-flow camera (:18-48). CARLA renders those on the UE4 server;
+the TPU-native rebuild renders them *on device* as a pure function of the
+simulated world state, so camera frames are jittable, `vmap`-able across a
+fleet, and available inside the compiled loop (e.g. for future perception
+models) rather than arriving on host callback threads.
+
+Renderer: a forward pinhole raycast over an analytic scene —
+  * ground plane z = 0, classified ROAD within ``road_halfwidth`` of the
+    global-path centerline (TERRAIN otherwise);
+  * obstacles as upright cylinders (vehicle- or walker-sized);
+  * SKY above the horizon.
+Outputs per pixel: semantic class id, metric depth along the ray, and the
+*analytic* optical flow (px/s) from the relative motion of the hit point —
+the ideal-sensor equivalent of CARLA's flow camera. ``rgb_frame`` maps
+classes through the CityScapes palette (the same colors the reference's
+semantic camera decodes) with a depth shade, covering the RGB camera's
+HUD role.
+
+Everything is fixed-shape: W×H pixels × (path points + K obstacle slots).
+At the default 96×64 this is ~1.6 M distance evaluations per frame —
+vector noise on the TPU's VPU, and the whole frame stays in VMEM.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from emplanner_carla_tpu.types import Array, EgoState, Obstacles, Path
+
+# Semantic class ids (palette below follows CityScapes, the convention the
+# reference's semantic camera uses, Sensors_camera_lib.py:85).
+SKY = 0
+TERRAIN = 1
+ROAD = 2
+VEHICLE = 3
+WALKER = 4
+
+_PALETTE = jnp.array(
+    [
+        [70, 130, 180],   # sky
+        [152, 251, 152],  # terrain
+        [128, 64, 128],   # road
+        [0, 0, 142],      # vehicle
+        [220, 20, 60],    # pedestrian
+    ],
+    jnp.float32,
+)
+
+VEHICLE_RADIUS = 1.0
+VEHICLE_HEIGHT = 1.6
+WALKER_RADIUS = 0.35
+WALKER_HEIGHT = 1.8
+
+
+class CameraConfig(NamedTuple):
+    """Pinhole camera rigidly mounted on the ego (forward-facing)."""
+
+    width: int = 96
+    height: int = 64
+    fov: float = math.radians(90.0)  # horizontal field of view
+    mount_forward: float = 1.0       # m ahead of the ego origin
+    mount_height: float = 1.6        # m above the ground
+    max_depth: float = 80.0          # sky / no-hit depth clamp
+    road_halfwidth: float = 5.25     # centerline band classified ROAD
+
+
+class CameraFrame(NamedTuple):
+    semantic: Array  # (H, W) int32 class ids
+    depth: Array     # (H, W) f32 metres along the ray
+    flow: Array      # (H, W, 2) f32 optical flow (du/dt, dv/dt) px/s
+
+
+def _rays(cfg: CameraConfig):
+    """Unit ray directions in the camera frame (x fwd, y left, z up)."""
+    f = (cfg.width / 2.0) / math.tan(cfg.fov / 2.0)
+    cx = (cfg.width - 1) / 2.0
+    cy = (cfg.height - 1) / 2.0
+    u = jnp.arange(cfg.width, dtype=jnp.float32)
+    v = jnp.arange(cfg.height, dtype=jnp.float32)
+    a = (cx - u)[None, :] / f            # y/x (left positive)
+    b = (cy - v)[:, None] / f            # z/x (up positive)
+    dx = jnp.ones((cfg.height, cfg.width), jnp.float32)
+    dy = jnp.broadcast_to(a, dx.shape)
+    dz = jnp.broadcast_to(b, dx.shape)
+    n = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return dx / n, dy / n, dz / n, f
+
+
+def render(
+    ego: EgoState,
+    global_path: Path,
+    obs: Obstacles,
+    cfg: CameraConfig = CameraConfig(),
+    is_walker: Array | None = None,
+) -> CameraFrame:
+    """Render one camera frame from the current world state.
+
+    ``is_walker``: optional (K,) bool mask selecting walker-sized obstacle
+    slots (crossing pedestrians); the rest render as vehicles.
+    """
+    H, W = cfg.height, cfg.width
+    K = obs.k
+    if is_walker is None:
+        is_walker = jnp.zeros(K, bool)
+
+    cphi, sphi = jnp.cos(ego.phi), jnp.sin(ego.phi)
+    cam_x = ego.x + cfg.mount_forward * cphi
+    cam_y = ego.y + cfg.mount_forward * sphi
+    cam_z = jnp.float32(cfg.mount_height)
+
+    # camera-frame rays -> world frame (yaw-only mount)
+    dcx, dcy, dcz, f = _rays(cfg)
+    dwx = dcx * cphi - dcy * sphi
+    dwy = dcx * sphi + dcy * cphi
+    dwz = dcz
+
+    BIG = jnp.float32(1e9)
+
+    # --- ground plane -----------------------------------------------------
+    t_ground = jnp.where(dwz < -1e-6, -cam_z / jnp.minimum(dwz, -1e-6), BIG)
+    gx = cam_x + t_ground * dwx
+    gy = cam_y + t_ground * dwy
+    # distance from the hit point to the centerline polyline (min over the
+    # path's 2 m samples — exact enough at pixel scale)
+    d2 = (gx[..., None] - global_path.x) ** 2 + (
+        gy[..., None] - global_path.y
+    ) ** 2
+    on_road = jnp.sqrt(jnp.min(d2, axis=-1)) < cfg.road_halfwidth
+    ground_cls = jnp.where(on_road, ROAD, TERRAIN)
+
+    # --- obstacle cylinders -------------------------------------------------
+    radius = jnp.where(is_walker, WALKER_RADIUS, VEHICLE_RADIUS)
+    height = jnp.where(is_walker, WALKER_HEIGHT, VEHICLE_HEIGHT)
+    # 2D quadratic |o_xy + t d_xy - c|^2 = r^2 per slot
+    ox = cam_x - obs.x                                   # (K,)
+    oy = cam_y - obs.y
+    a2 = dwx[..., None] ** 2 + dwy[..., None] ** 2       # (H, W, K)
+    b1 = dwx[..., None] * ox + dwy[..., None] * oy
+    c0 = (ox * ox + oy * oy - radius * radius)[None, None, :]
+    disc = b1 * b1 - a2 * c0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_cyl = (-b1 - sq) / jnp.maximum(a2, 1e-9)
+    z_hit = cam_z + t_cyl * dwz[..., None]
+    ok = (
+        (disc > 0.0)
+        & (t_cyl > 0.0)
+        & (z_hit > 0.0)
+        & (z_hit < height)
+        & obs.valid
+    )
+    t_obs_all = jnp.where(ok, t_cyl, BIG)
+    k_near = jnp.argmin(t_obs_all, axis=-1)              # (H, W)
+    t_obs = jnp.min(t_obs_all, axis=-1)
+    obs_cls = jnp.where(is_walker[k_near], WALKER, VEHICLE)
+
+    # --- composite ----------------------------------------------------------
+    hit_obs = t_obs < t_ground
+    t = jnp.minimum(t_obs, t_ground)
+    sky = t >= BIG
+    semantic = jnp.where(
+        sky, SKY, jnp.where(hit_obs, obs_cls, ground_cls)
+    ).astype(jnp.int32)
+    depth = jnp.minimum(t, cfg.max_depth)
+
+    # --- analytic optical flow ----------------------------------------------
+    # Hit point P in the camera frame: X = t * d_cam. Camera translates with
+    # the ego's world velocity (+ lever arm of the yaw rate at the mount) and
+    # yaws at omega. Point velocity: 0 for ground/sky, obstacle velocity for
+    # cylinder hits. Camera-frame derivative of X:
+    #   Xdot = R^T (Vp - Vc) - omega_z x X
+    vex, vey = ego.v_world
+    vcx = vex - ego.omega * cfg.mount_forward * sphi
+    vcy = vey + ego.omega * cfg.mount_forward * cphi
+    vpx = jnp.where(hit_obs, obs.vx[k_near], 0.0)
+    vpy = jnp.where(hit_obs, obs.vy[k_near], 0.0)
+    rvx = vpx - vcx
+    rvy = vpy - vcy
+    # world -> camera rotation (yaw only)
+    rcx = rvx * cphi + rvy * sphi
+    rcy = -rvx * sphi + rvy * cphi
+    X = t * dcx
+    Y = t * dcy
+    Z = t * dcz
+    xd = rcx + ego.omega * Y
+    yd = rcy - ego.omega * X
+    zd = jnp.zeros_like(xd)
+    # u = cx - f*Y/X, v = cy - f*Z/X
+    Xs = jnp.maximum(X, 1e-3)
+    du = -f * (yd * Xs - Y * xd) / (Xs * Xs)
+    dv = -f * (zd * Xs - Z * xd) / (Xs * Xs)
+    zero = sky  # no meaningful flow at the depth clamp
+    flow = jnp.stack(
+        [jnp.where(zero, 0.0, du), jnp.where(zero, 0.0, dv)], axis=-1
+    )
+    return CameraFrame(semantic, depth, flow)
+
+
+def rgb_frame(frame: CameraFrame, cfg: CameraConfig = CameraConfig()) -> Array:
+    """(H, W, 3) uint8 image: CityScapes palette + depth shading — the RGB
+    camera's HUD-feed role (``Sensors_camera_lib.py:98-137``)."""
+    base = _PALETTE[frame.semantic]
+    shade = 1.0 - 0.6 * jnp.clip(frame.depth / cfg.max_depth, 0.0, 1.0)
+    shade = jnp.where(frame.semantic == SKY, 1.0, shade)
+    return jnp.clip(base * shade[..., None], 0.0, 255.0).astype(jnp.uint8)

@@ -20,9 +20,10 @@ simulated world state:
 * IMU — ``Sensors_other_lib.IMU_sensor:78``; here: body-frame
   accelerations + yaw rate from the plant state.
 
-The cameras (``Sensors_camera_lib``) and the pygame HUD they feed are
-host-side visualization in the reference (SURVEY.md §2.4) — their role is
-covered by utils/report.py's post-run rendering.
+The cameras (``Sensors_camera_lib``) live in sim/camera.py: a device-side
+pinhole raycaster producing semantic/depth/optical-flow/RGB frames as pure
+functions of world state (the HUD-feed role is covered there plus
+utils/report.py's post-run rendering).
 """
 
 from __future__ import annotations

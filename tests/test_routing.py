@@ -168,3 +168,61 @@ def test_route_feeds_planner(town):
     res = em_planner.plan_path_cycle(gp, ego, obs, jnp.int32(0), cfg)
     assert bool(res.feasible)
     assert bool(jnp.all(jnp.isfinite(res.target.x)))
+
+
+def test_multilane_highway_lane_change_links():
+    """Multi-lane topology: lane-change edges exist and A* traverses them
+    when origin and destination sit on different lanes — the capability of
+    the upstream GlobalRoutePlanner's CHANGELANELEFT/RIGHT edges
+    (agents/navigation/global_route_planner.py:185-229)."""
+    g = graph.multilane_highway(n_lanes=3, lane_width=3.5, length=400.0)
+    opts = set(int(o) for o in g.edge_option)
+    assert int(graph.RoadOption.CHANGE_LANE_LEFT) in opts
+    assert int(graph.RoadOption.CHANGE_LANE_RIGHT) in opts
+
+    # lane 0 start -> lane 2 end: the route must carry two left changes
+    x, y, n, opt = astar.plan_route(
+        g, (0.0, 0.0), (400.0, 7.0), pad_to=512, with_options=True
+    )
+    tags = np.asarray(opt[:n])
+    assert int(graph.RoadOption.CHANGE_LANE_LEFT) in set(tags.tolist())
+    assert int(graph.RoadOption.CHANGE_LANE_RIGHT) not in set(tags.tolist())
+    # ends on lane 2, starts on lane 0
+    assert abs(y[0] - 0.0) < 0.5 and abs(y[n - 1] - 7.0) < 0.5
+    # the stitched path is smooth enough for the Frenet planner: max
+    # heading change per 2 m step stays well under the smoother's budget
+    v = np.stack([np.diff(x[:n]), np.diff(y[:n])], 1)
+    th = np.unwrap(np.arctan2(v[:, 1], v[:, 0]))
+    assert np.abs(np.diff(th)).max() < 0.25
+
+    # same-lane route never changes lanes (ramp length > seg_len penalty)
+    _, _, n2, opt2 = astar.plan_route(
+        g, (0.0, 3.5), (400.0, 3.5), pad_to=512, with_options=True
+    )
+    assert set(np.asarray(opt2[:n2]).tolist()) == {
+        int(graph.RoadOption.LANE_FOLLOW)
+    }
+
+
+def test_multilane_route_feeds_planner():
+    """A lane-change route must drive the EM path planner end-to-end."""
+    import jax.numpy as jnp
+
+    from emplanner_carla_tpu.config import EMConfig
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.planner import em_planner
+    from emplanner_carla_tpu.types import EgoState, Obstacles
+
+    cfg = EMConfig()
+    g = graph.multilane_highway(n_lanes=2, lane_width=3.5, length=450.0)
+    x, y, n = astar.plan_route(g, (0.0, 0.0), (450.0, 3.5), pad_to=256)
+    gp = frenet.path_from_xy(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    )
+    z = jnp.zeros(())
+    ego = EgoState(gp.x[0], gp.y[0], gp.theta[0], jnp.float32(8.0), z, z, z, z, z)
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    obs = Obstacles(*(jnp.zeros(K) for _ in range(4)), jnp.zeros(K, bool))
+    res = em_planner.plan_path_cycle(gp, ego, obs, jnp.int32(0), cfg)
+    assert bool(res.feasible)
+    assert bool(jnp.all(jnp.isfinite(res.target.x)))
