@@ -1,0 +1,96 @@
+"""Camera-space detection vs ground truth (the YOLO demo's role,
+``simulation_2.py:159-233``, as a device-side detector over sim/camera.py
+frames)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emplanner_carla_tpu.sim import camera, detector
+from emplanner_carla_tpu.types import EgoState, Obstacles, Path
+
+CFG = camera.CameraConfig(width=64, height=48)
+
+
+def world(xs, ys, walkers=(False, False, False, False)):
+    n = 128
+    gx = jnp.arange(n, dtype=jnp.float32) * 2.0
+    z = jnp.zeros(n, jnp.float32)
+    gp = Path(gx, z, z, z)
+    zz = jnp.zeros(())
+    ego = EgoState(
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(8.0), zz, zz, zz, zz, zz,
+    )
+    k = 4
+    x = np.zeros(k, np.float32)
+    y = np.zeros(k, np.float32)
+    valid = np.zeros(k, bool)
+    for i, (xi, yi) in enumerate(zip(xs, ys)):
+        x[i], y[i], valid[i] = xi, yi, True
+    obs = Obstacles(
+        jnp.asarray(x), jnp.asarray(y),
+        jnp.zeros(k), jnp.zeros(k), jnp.asarray(valid),
+    )
+    return ego, gp, obs, jnp.asarray(walkers)
+
+
+def test_detects_vehicles_and_walker_positions():
+    """Two separated vehicles + one walker: detection count, class, and
+    recovered world positions within half a vehicle radius."""
+    # bearings well separated so no class occludes another's box (an
+    # occluded box clips toward the visible side and biases the bearing —
+    # correct detector physics, wrong for a position-accuracy check)
+    ego, gp, obs, is_walker = world(
+        xs=(14.0, 18.0, 9.0), ys=(-3.0, 3.5, 5.5),
+        walkers=(False, False, True, False),
+    )
+    frame = camera.render(ego, gp, obs, CFG, is_walker=is_walker)
+    det = jax.jit(
+        lambda fr, e: detector.detect(fr, e, CFG, max_det=4)
+    )(frame, ego)
+
+    v = np.asarray(det.valid)
+    cls = np.asarray(det.cls)
+    assert (v & (cls == camera.VEHICLE)).sum() == 2
+    assert (v & (cls == camera.WALKER)).sum() == 1
+
+    got = sorted(
+        (float(x), float(y))
+        for x, y, ok in zip(det.x, det.y, det.valid) if ok
+    )
+    want = sorted([(14.0, -3.0), (18.0, 3.5), (9.0, 5.5)])
+    for (gx, gy), (wx, wy) in zip(got, want):
+        assert np.hypot(gx - wx, gy - wy) < 0.6, (got, want)
+
+
+def test_boxes_and_empty_scene():
+    """Pixel boxes bound the class pixels; empty scene yields no valid
+    detections; detector vmaps across a fleet."""
+    ego, gp, obs, is_walker = world(xs=(12.0,), ys=(0.0,))
+    frame = camera.render(ego, gp, obs, CFG, is_walker=is_walker)
+    det = detector.detect(frame, ego, CFG)
+    sem = np.asarray(frame.semantic)
+    i = int(np.asarray(det.valid).nonzero()[0][0])
+    box = sem[
+        int(det.v_min[i]) : int(det.v_max[i]) + 1,
+        int(det.u_min[i]) : int(det.u_max[i]) + 1,
+    ]
+    assert (box == camera.VEHICLE).any()
+    assert (sem == camera.VEHICLE).sum() == (box == camera.VEHICLE).sum()
+    # nearest-face depth: 12 m - mount - radius
+    assert float(det.depth[i]) == (
+        np.float32(12.0 - CFG.mount_forward - camera.VEHICLE_RADIUS)
+    ) or abs(float(det.depth[i]) - 10.0) < 0.2
+
+    ego2, gp2, obs2, w2 = world(xs=(), ys=())
+    f2 = camera.render(ego2, gp2, obs2, CFG, is_walker=w2)
+    d2 = detector.detect(f2, ego2, CFG)
+    assert not np.asarray(d2.valid).any()
+
+    frames = jax.vmap(lambda: frame, axis_size=3)()
+    egos = jax.tree.map(lambda a: jnp.broadcast_to(a, (3,) + a.shape), ego)
+    batched = jax.jit(
+        jax.vmap(lambda fr, e: detector.detect(fr, e, CFG))
+    )(frames, egos)
+    assert batched.valid.shape == (3, 8)
