@@ -38,8 +38,11 @@ class RefLineConfig:
     w_length: float = 0.3
     w_ref: float = 0.3
     xy_bound: float = 0.2       # +- box around the raw polyline, metres
-    admm_iters: int = 60        # fixed-iteration ADMM replacing cvxopt
-    admm_rho: float = 1.0
+    # box-QP solve = one direct unconstrained matmul + this many warm,
+    # over-relaxed ADMM polish iterations for box-binding points
+    # (reference_line.smooth_xy; accuracy sweep in its docstring)
+    admm_iters: int = 12
+    admm_rho: float = 3.0
 
 
 @dataclass(frozen=True)

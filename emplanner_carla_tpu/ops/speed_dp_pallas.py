@@ -188,35 +188,15 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
     """
     from emplanner_carla_tpu.planner import speed_planner as SP
 
-    n_s, n_t, m = cfg.n_s, cfg.n_t, cfg.n_edge_samples
+    n_s, n_t = cfg.n_s, cfg.n_t
     s_grid = jnp.asarray(np.asarray(cfg.s_grid), jnp.float32)
     t_grid = (jnp.arange(n_t, dtype=jnp.float32) + 1.0) * cfg.t_step
-    frac = jnp.arange(m, dtype=jnp.float32) / (m - 1)
 
-    def obs_tensors(seg_row):
-        s0s = s_grid[:, None] * frac[None, :]
-        t0s = t_grid[0] * frac[None, :] * jnp.ones((n_s, 1))
-        d0 = SP._seg_distance(s0s, t0s, seg_row)
-        obs0 = jnp.sum(
-            jnp.where(seg_row.valid, SP._collision_cost(d0, cfg), 0.0),
-            axis=(-2, -1),
-        )
-        t_start = t_grid[:-1]
-        s_samp = s_grid[None, :, None, None] + (
-            s_grid[None, None, :, None] - s_grid[None, :, None, None]
-        ) * frac[None, None, None, :]
-        t_samp = (
-            t_start[:, None, None, None]
-            + cfg.t_step * frac[None, None, None, :]
-        ) * jnp.ones((1, n_s, n_s, 1))
-        d_tr = SP._seg_distance(s_samp, t_samp, seg_row)
-        obs_tr = jnp.sum(
-            jnp.where(seg_row.valid, SP._collision_cost(d_tr, cfg), 0.0),
-            axis=(-2, -1),
-        )
-        return obs0, obs_tr
-
-    obs0_T, obs_tr_T = jax.vmap(obs_tensors, out_axes=(-1, -1))(seg)
+    # shared endpoint/forward-triangle decomposition (numerically identical
+    # to the unbatched XLA DP's tensors)
+    obs0_T, obs_tr_T = jax.vmap(
+        lambda seg_row: SP._edge_obs_tensors(seg_row, cfg), out_axes=(-1, -1)
+    )(seg)
     cost_last, top, args = speed_dp_recursion(obs0_T, obs_tr_T, v0, cfg)
 
     # termination + backtrack (vectorized; same tie-breaks as the XLA DP)

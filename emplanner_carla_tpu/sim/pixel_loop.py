@@ -1,0 +1,233 @@
+"""Closed loop driven by pixels: camera -> detector -> tracker -> planner.
+
+Beyond-reference capability. The reference's YOLO demo
+(``/root/reference/simulation_2.py:159-233``) draws detection boxes on the
+HUD and feeds *nothing* downstream — its planner always consumes simulator
+ground truth (``test_9.py:48-89``). Here the whole sensing chain closes:
+every replan cycle renders the ego's camera (sim/camera.py), detects
+objects in the frame (sim/detector.py), tracks them across cycles with a
+constant-velocity nearest-neighbour tracker, and hands the *estimated*
+obstacle set to the EM planner. Ground truth is used only where physics
+needs it (stepping the plant and NPCs, collision metrics) — the planner,
+corridor, and ACC guard see nothing but what the camera saw.
+
+Everything — raycast render, detection, association, planning, 100 control
+ticks — is one compiled nested scan, vmappable into a fleet.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from emplanner_carla_tpu.config import EMConfig
+from emplanner_carla_tpu.control import vehicle
+from emplanner_carla_tpu.ops import frenet
+from emplanner_carla_tpu.planner import em_planner
+from emplanner_carla_tpu.sim import camera as camera_mod
+from emplanner_carla_tpu.sim import closed_loop, detector, plant
+from emplanner_carla_tpu.types import Array, EgoState, Obstacles, Path
+
+
+class Tracks(NamedTuple):
+    """Constant-velocity tracks over the detector's fixed slots."""
+
+    x: Array
+    y: Array
+    vx: Array
+    vy: Array
+    valid: Array
+
+    @classmethod
+    def init(cls, d: int):
+        z = jnp.zeros(d, jnp.float32)
+        return cls(z, z, z, z, jnp.zeros(d, bool))
+
+
+ASSOC_GATE = 12.0    # m: association radius around the CV-predicted track
+VEL_EMA = 0.5        # velocity estimate smoothing
+VEL_MAX = 25.0       # m/s sanity clamp: faster implied motion = new object
+
+
+def update_tracks(
+    det: detector.Detections, tracks: Tracks, plan_dt: float
+) -> Tracks:
+    """Nearest-neighbour association + finite-difference velocities.
+
+    Tracks are predicted forward by their constant-velocity estimate over
+    the plan period; each detection then claims its nearest predicted
+    track within ``ASSOC_GATE`` (generous on purpose — a fresh track has
+    velocity 0, so its first re-association must absorb one full plan
+    period of true motion). Matched tracks finite-difference the raw
+    positions into an EMA-smoothed velocity; an implied speed above
+    ``VEL_MAX`` is treated as a mis-association and the detection starts a
+    fresh at-rest track. Fixed shapes throughout: detections and tracks
+    share the detector's slot count.
+    """
+    px = tracks.x + tracks.vx * plan_dt
+    py = tracks.y + tracks.vy * plan_dt
+    d2 = (det.x[:, None] - px[None, :]) ** 2 + (
+        det.y[:, None] - py[None, :]
+    ) ** 2
+    ok = det.valid[:, None] & tracks.valid[None, :]
+    d2 = jnp.where(ok, d2, jnp.inf)
+    j = jnp.argmin(d2, axis=1)
+    matched = jnp.take_along_axis(d2, j[:, None], 1)[:, 0] < ASSOC_GATE**2
+
+    vx_fd = (det.x - tracks.x[j]) / plan_dt
+    vy_fd = (det.y - tracks.y[j]) / plan_dt
+    matched = matched & (jnp.hypot(vx_fd, vy_fd) < VEL_MAX)
+    vx = jnp.where(
+        matched, VEL_EMA * vx_fd + (1 - VEL_EMA) * tracks.vx[j], 0.0
+    )
+    vy = jnp.where(
+        matched, VEL_EMA * vy_fd + (1 - VEL_EMA) * tracks.vy[j], 0.0
+    )
+    return Tracks(det.x, det.y, vx, vy, det.valid)
+
+
+class PixelCarry(NamedTuple):
+    loop: closed_loop.LoopCarry
+    tracks: Tracks
+
+
+class PixelMetrics(NamedTuple):
+    ticks: closed_loop.TickMetrics  # (n_plans, plan_every, ...)
+    n_tracked: Array                # (n_plans,) valid tracks per cycle
+    perc_err: Array                 # (n_plans,) mean matched position error
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_cfg", "max_det"))
+def simulate_pixels(
+    global_path: Path,
+    ego0: EgoState,
+    obstacles0: Obstacles,
+    cfg: EMConfig,
+    cam_cfg: camera_mod.CameraConfig = camera_mod.CameraConfig(),
+    is_walker: Array | None = None,
+    max_det: int = 4,
+) -> tuple[PixelCarry, PixelMetrics]:
+    """The path-planning closed loop of ``closed_loop.simulate`` with the
+    planner's obstacle input replaced by camera detections.
+
+    Per replan cycle: render -> detect -> track -> ``plan_path_cycle`` on
+    the estimates; the ACC time-headway guard also runs on the estimates
+    (advanced per tick by their tracked velocities). True obstacles step
+    the world and score collisions only.
+    """
+    lp = cfg.loop
+    target_speed = jnp.asarray(lp.target_speed_kmh, jnp.float32)
+    dest_x, dest_y = global_path.x[-1], global_path.y[-1]
+    plan_dt = lp.plan_every * cfg.plant.dt
+    if is_walker is None:
+        is_walker = jnp.zeros(obstacles0.k, bool)
+
+    def control_tick(carry, _):
+        ego, cs, obs_true, est, target, arrived, feas, plan_ok = carry
+        # ACC guard on the *estimated* lead (closed_loop.simulate's guard,
+        # driven by perception instead of truth)
+        vxw, vyw = ego.v_world
+        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
+        ux, uy = vxw / spd, vyw / spd
+        dxo, dyo = est.x - ego.x, est.y - ego.y
+        d_long = dxo * ux + dyo * uy
+        d_lat = -dxo * uy + dyo * ux
+        lead = est.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
+        d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
+        v_cap_kmh = 3.6 * jnp.maximum(
+            (d_lead - closed_loop.ACC_STANDOFF) / closed_loop.ACC_HEADWAY,
+            0.0,
+        )
+        tick_target = jnp.minimum(target_speed, v_cap_kmh)
+        tick_target = jnp.where(plan_ok, tick_target, 0.0)
+        steer, throttle, brake, cs = vehicle.run_step(
+            ego, target, cs, tick_target, cfg.vehicle, cfg.control
+        )
+        arrived = arrived | (
+            jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
+        )
+        stop = arrived | ~plan_ok
+        steer = jnp.where(stop, 0.0, steer)
+        throttle = jnp.where(stop, 0.0, throttle)
+        brake = jnp.where(stop, 1.0, brake)
+        ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
+        obs_true = closed_loop._advance_obstacles(obs_true, cfg.plant.dt)
+        est = closed_loop._advance_obstacles(est, cfg.plant.dt)
+
+        d_obs = jnp.hypot(obs_true.x - ego.x, obs_true.y - ego.y)
+        collided = jnp.any(
+            obs_true.valid & (d_obs < closed_loop.COLLISION_RADIUS)
+        )
+        m = closed_loop.TickMetrics(
+            ego.x, ego.y, 3.6 * ego.speed,
+            closed_loop._lateral_error(ego, target),
+            ego.phi, collided, arrived, feas & plan_ok,
+        )
+        return (ego, cs, obs_true, est, target, arrived, feas, plan_ok), m
+
+    def plan_cycle(carry: PixelCarry, _):
+        lc = carry.loop
+        # sense
+        frame = camera_mod.render(
+            lc.ego, global_path, lc.obstacles, cam_cfg, is_walker=is_walker
+        )
+        det = detector.detect(frame, lc.ego, cam_cfg, max_det=max_det)
+        tracks = update_tracks(det, carry.tracks, plan_dt)
+        est = Obstacles(
+            tracks.x, tracks.y, tracks.vx, tracks.vy, tracks.valid
+        )
+        # perception accuracy (vs true positions, matched within 2 m)
+        d2 = (tracks.x[:, None] - lc.obstacles.x[None, :]) ** 2 + (
+            tracks.y[:, None] - lc.obstacles.y[None, :]
+        ) ** 2
+        d2 = jnp.where(
+            tracks.valid[:, None] & lc.obstacles.valid[None, :], d2, jnp.inf
+        )
+        dmin = jnp.sqrt(jnp.min(d2, axis=1))
+        hit = tracks.valid & (dmin < 2.0)
+        perc_err = jnp.sum(jnp.where(hit, dmin, 0.0)) / jnp.maximum(
+            jnp.sum(hit), 1
+        )
+
+        # plan on the estimates
+        res = em_planner.plan_path_cycle(
+            global_path, lc.ego, est, lc.match_index, cfg,
+            qp_warm=lc.qp_warm[0],
+        )
+        plan_ok = closed_loop._all_finite(res.target)
+        target = closed_loop._sanitize(res.target)
+        cs = lc.ctrl.rebind()
+        (ego, cs, obs_true, _, _, arrived, _, _), metrics = jax.lax.scan(
+            control_tick,
+            (lc.ego, cs, lc.obstacles, est, target, lc.arrived,
+             res.feasible, plan_ok),
+            None,
+            length=lp.plan_every,
+        )
+        new_loop = closed_loop.LoopCarry(
+            ego, cs, res.match_index, obs_true, arrived,
+            (closed_loop._sanitize(res.qp_state), None),
+        )
+        return (
+            PixelCarry(new_loop, tracks),
+            (metrics, jnp.sum(tracks.valid), perc_err),
+        )
+
+    carry0 = PixelCarry(
+        closed_loop.LoopCarry(
+            ego0,
+            vehicle.ControllerState.init(cfg.control),
+            frenet.nearest_index(ego0.x, ego0.y, global_path),
+            obstacles0,
+            jnp.zeros((), bool),
+            em_planner.warm_init(cfg),
+        ),
+        Tracks.init(2 * max_det),
+    )
+    carry, (ticks, n_tracked, perc_err) = jax.lax.scan(
+        plan_cycle, carry0, None, length=lp.n_plans
+    )
+    return carry, PixelMetrics(ticks, n_tracked, perc_err)
