@@ -101,10 +101,12 @@ class PathPlanConfig:
     admm_iters: int = 120
     admm_rho: float = 1.0
     admm_sigma: float = 1e-6
-    # total ADMM iterations when warm-started from the previous cycle's
+    # per-phase ADMM iterations when warm-started from the previous cycle's
     # carried state (closed loops only; cold solves use the admm_iters
-    # ladder)
-    warm_admm_iters: int = 120
+    # ladder). Swept at batch 4096 on v5e: 60 matches 120's closed-loop
+    # RMSE/speed/collision metrics exactly; 30 and below start costing
+    # mean speed (under-converged speed QP).
+    warm_admm_iters: int = 60
 
     @property
     def n_enriched(self) -> int:
@@ -159,9 +161,10 @@ class SpeedPlanConfig:
     n_dense: int = 401
     admm_iters: int = 120
     admm_rho: float = 1.0
-    # total ADMM iterations when warm-started from the previous replan
-    # cycle's state (the closed loops carry it; cold solves use the
-    # admm_iters-derived ladder)
+    # per-phase warm-start iterations. Unlike the path QP, 60 here fails
+    # the float64-oracle fidelity bar (longitudinal divergence >1 m on the
+    # full-EM NPC regressions): the speed QP needs the full 120 to match
+    # scipy-exact solves.
     warm_admm_iters: int = 120
     # ST segments kept per cycle (valid-first, earliest t_in): the DP's
     # obstacle-distance tensor is the full-EM cycle's largest term and

@@ -24,8 +24,11 @@ from emplanner_carla_tpu.oracle import frenet_np, path_np
 
 # ---------------------------------------------------------------- reference line
 def smooth_refline(xs, ys, w_s=0.4, w_len=0.3, w_ref=0.3, bound=0.2,
-                   iters=60, rho=1.0):
-    """Per-coordinate box-QP smoothing via the same ADMM splitting, f64."""
+                   iters=12, rho=3.0, alpha=1.6):
+    """Per-coordinate box-QP smoothing, f64 mirror of
+    ``planner/reference_line.smooth_xy``: one direct unconstrained solve
+    (exact when the box is inactive) + ``iters`` over-relaxed ADMM polish
+    iterations for box-binding points."""
     n = len(xs)
     D2 = np.zeros((n - 2, n))
     for i in range(n - 2):
@@ -34,6 +37,7 @@ def smooth_refline(xs, ys, w_s=0.4, w_len=0.3, w_ref=0.3, bound=0.2,
     for i in range(n - 1):
         D1[i, i : i + 2] = (1, -1)
     H = 2 * (w_s * D2.T @ D2 + w_len * D1.T @ D1 + w_ref * np.eye(n))
+    W = 2 * w_ref * np.linalg.inv(H)
     Minv = np.linalg.inv(H + rho * np.eye(n))
 
     def solve(ref):
@@ -41,13 +45,14 @@ def smooth_refline(xs, ys, w_s=0.4, w_len=0.3, w_ref=0.3, bound=0.2,
         r = ref - c
         f = -2 * w_ref * r
         lb, ub = r - bound, r + bound
-        x = r.copy()
-        z = r.copy()
-        u = np.zeros(n)
+        x = W @ r
+        z = np.clip(x, lb, ub)
+        u = x - z
         for _ in range(iters):
             x = Minv @ (rho * (z - u) - f)
-            z = np.clip(x + u, lb, ub)
-            u += x - z
+            xh = alpha * x + (1 - alpha) * z
+            z = np.clip(xh + u, lb, ub)
+            u += xh - z
         return z + c
 
     return solve(np.asarray(xs, float)), solve(np.asarray(ys, float))

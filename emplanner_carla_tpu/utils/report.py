@@ -89,3 +89,40 @@ def plot_run(metrics, scenario=None, cfg=None, path: str = "run.png"):
     fig.savefig(path, dpi=110)
     plt.close(fig)
     return path
+
+
+def plot_camera_frame(frame, cfg=None, path: str = "camera.png"):
+    """Render one sim/camera.py frame as the four-panel HUD view the
+    reference's pygame window showed (RGB / semantic / depth / flow,
+    ``simulation_2.py:594-668`` + ``Sensors_camera_lib.py``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from emplanner_carla_tpu.sim import camera as cam_mod
+
+    cam_cfg = cfg if cfg is not None else cam_mod.CameraConfig()
+    rgb = np.asarray(cam_mod.rgb_frame(frame, cam_cfg))
+    sem = np.asarray(frame.semantic)
+    depth = np.asarray(frame.depth)
+    flow = np.asarray(frame.flow)
+
+    fig, axes = plt.subplots(2, 2, figsize=(10, 6))
+    axes[0, 0].imshow(rgb)
+    axes[0, 0].set_title("rgb")
+    axes[0, 1].imshow(sem, cmap="tab10", vmin=0, vmax=9)
+    axes[0, 1].set_title("semantic")
+    im = axes[1, 0].imshow(depth, cmap="viridis")
+    axes[1, 0].set_title("depth (m)")
+    fig.colorbar(im, ax=axes[1, 0], shrink=0.8)
+    mag = np.hypot(flow[..., 0], flow[..., 1])
+    axes[1, 1].imshow(mag, cmap="magma")
+    axes[1, 1].set_title("optical-flow magnitude (px/s)")
+    for a in axes.flat:
+        a.set_xticks([])
+        a.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
