@@ -9,9 +9,10 @@ a validity mask replace the reference's NaN-scan bookkeeping.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from emplanner_carla_tpu.ops import frenet
+from emplanner_carla_tpu.ops import frenet, interp
 from emplanner_carla_tpu.types import Array, Path, Trajectory
 
 
@@ -32,16 +33,30 @@ def merge(
     s beyond the path's end clamps to the final pose (the reference patches
     the endpoint by hand after np.interp's NaN behavior,
     ``speed_planning_test.py:591-608``); those samples are masked invalid.
+
+    All four pose channels share ONE interpolation-weight matrix and a
+    single constant-shape contraction (4x ``jnp.interp`` measured
+    ~+50 ms/channel/batch-4096 on v5e — see ``ops/interp.py``).
     """
     s_map = path_arc_length(path)
-    x = jnp.interp(s_dense, s_map, path.x)
-    y = jnp.interp(s_dense, s_map, path.y)
-    theta = jnp.interp(s_dense, s_map, path.theta)
-    kappa = jnp.interp(s_dense, s_map, path.kappa)
+    W = interp.weight_matrix(s_dense, s_map)  # (n_dense, n_path)
+    F = jnp.stack([path.x, path.y, path.theta, path.kappa], axis=-1)
+    with jax.default_matmul_precision("highest"):
+        pose = W @ F  # (n_dense, 4)
     valid = s_dense <= s_map[-1]
-    return Trajectory(x, y, theta, kappa, v_dense, a_dense, t_dense, valid)
+    return Trajectory(
+        pose[..., 0], pose[..., 1], pose[..., 2], pose[..., 3],
+        v_dense, a_dense, t_dense, valid,
+    )
 
 
 def speed_at(traj: Trajectory, t: Array) -> Array:
-    """Planned speed (m/s) at relative time t (clamped to the horizon)."""
-    return jnp.interp(t, traj.time, traj.speed)
+    """Planned speed (m/s) at relative time t (clamped to the horizon).
+
+    The time grid is uniform by construction (densify_speed's constant
+    ``tq``), so the lerp is a closed-form hat-weight contraction — no
+    searchsorted, no gathers (this runs every control tick)."""
+    n = traj.time.shape[-1]
+    dx = traj.time[..., 1] - traj.time[..., 0]
+    w = interp.uniform_hat(t[..., None], traj.time[..., 0], dx, n)
+    return jnp.sum(w[..., 0, :] * traj.speed, axis=-1)
