@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: the S-T speed-DP recursion, batch-in-lanes.
+"""Pallas TPU kernel: the S-T speed-DP recursion, batch-in-lanes, with the
+obstacle edge costs computed IN-KERNEL from the raw ST segments.
 
 The XLA version of the 16-column speed DP spends ~50 ms per 4096-batch on
 the scan alone — ~6x off bandwidth-bound, because the natural vmap layout
@@ -9,14 +10,24 @@ and every column round-trips the carry through HBM. This kernel is the
 * batch lives in the lane dimension: all tensors are (40, 40, BLK) /
   (40, BLK) with BLK = 128 — full lane utilization;
 * the DP carry (cost, arrival speed) stays in VMEM scratch across all
-  columns; the only HBM traffic is the per-column obstacle-cost slab
-  streaming in and the argmin/top-row outputs streaming out;
-* the grid is (batch blocks, columns) with columns minor, so Mosaic
-  pipelines the column slabs while the recursion runs.
+  columns; obstacle edge costs are computed *inside* the kernel from the
+  K=2 segment parameters (10 floats/scenario) instead of streaming a
+  precomputed (n_t-1, n_s, n_s, B) slab from HBM — at batch 4096 that
+  slab is 393 MB written by XLA and re-read by the kernel (~2 ms of pure
+  HBM traffic) for what is per-scenario ~40 bytes of actual information;
+* a per-block validity gate (`pl.when(any_valid)`) skips the whole
+  obstacle computation — sqrt/exp chains over (40, 40, BLK) — when no
+  scenario in the block has a valid ST segment. In the headline fleet mix
+  the lead NPC travels in-lane (|l_dot| below the st_graph gate), so most
+  blocks carry zero valid segments and the DP collapses to the pure
+  recursion;
+* the grid is (batch blocks, columns) with columns minor.
 
-The first-minimum tie-break of the reference DP (strict <,
-``speed_planning_test.py:145``) is reproduced with an explicit
-iota-min argmin.
+The obstacle-cost math reproduces ``speed_planner._edge_obs_tensors``
+(single-sqrt point-segment distances, endpoint/interior decomposition,
+hoisted t-only subexpressions) term for term so the Pallas and XLA DPs
+stay numerically aligned. First-minimum tie-break of the reference DP
+(strict <, ``speed_planning_test.py:145``) via an explicit iota-min.
 """
 
 from __future__ import annotations
@@ -33,18 +44,16 @@ from emplanner_carla_tpu.types import Array
 BLK = 128
 
 
-def speed_dp_recursion(
-    obs0_T: Array,      # (n_s, B) obstacle cost of the start edges
-    obs_tr_T: Array,    # (n_t-1, n_s, n_s, B) transition obstacle costs
-    v0: Array,          # (B,) plan-start s_dot
-    cfg: SpeedPlanConfig,
-):
-    """Run the DP recursion for a batch. Returns
+def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
+    """Run the batched DP recursion with in-kernel obstacle costs.
+
+    seg: STSegments with (B, K) fields; v0: (B,). Returns
     (cost_last (B, n_s), top_costs (B, n_t), argmins (B, n_t-1, n_s))."""
     n_s, n_t = cfg.n_s, cfg.n_t
-    B = v0.shape[0]
+    B, K = seg.valid.shape
     assert B % BLK == 0, f"batch {B} must be a multiple of {BLK}"
     dt = cfg.t_step
+    m = cfg.n_edge_samples
     s_grid_np = np.asarray(cfg.s_grid, np.float32)
     t0 = float(dt)
 
@@ -58,22 +67,71 @@ def speed_dp_recursion(
         cfg.w_ref_speed * (v0_edge_np - cfg.reference_speed) ** 2
     ).astype(np.float32)
 
-    dv_c = jnp.asarray(dv_np)                       # (k, j)
-    ref_tr_c = jnp.asarray(ref_tr_np)               # (k, j)
-    sg_col = jnp.asarray(s_grid_np)[:, None]        # (n_s, 1)
-    v0e_col = jnp.asarray(v0_edge_np)[:, None]      # (n_s, 1)
-    ref0_col = jnp.asarray(ref0_np)[:, None]        # (n_s, 1)
+    frac_np = np.arange(m, dtype=np.float32) / (m - 1)           # [0, 1]
+    fm = [float(f) for f in frac_np[1:-1]]                       # interior
+    # interior sample stations s_mid(q, k, j) = s_k + (s_j - s_k) * fm_q
+    smid_np = (
+        s_grid_np[None, :, None]
+        + (s_grid_np[None, None, :] - s_grid_np[None, :, None])
+        * frac_np[1:-1][:, None, None]
+    ).astype(np.float32)                                         # (m-2, k, j)
+    # start-edge samples s0(q, j) = s_j * frac_q
+    s0_np = (frac_np[:, None] * s_grid_np[None, :]).astype(np.float32)
 
     a_lo, a_hi = cfg.accel_min, cfg.accel_max
     w_acc, pen = cfg.w_accel, cfg.accel_penalty
+    w_obs = float(cfg.w_obs)
+    coll_d = float(cfg.obs_collision_dist)
+    dang_d = float(cfg.obs_danger_dist)
+    log_w = float(np.log(np.float32(w_obs)))
 
-    def kernel(obs0_ref, v0_ref, obs_tr_ref, dv_ref, reftr_ref,
-               sg_ref, v0e_ref, ref0_ref,
+    def _cost_of(d):
+        """= speed_planner._collision_cost (w_obs / exp band / 0)."""
+        band = jnp.exp(log_w * (coll_d + 1.0 - d))
+        return jnp.where(d < coll_d, w_obs, jnp.where(d < dang_d, band, 0.0))
+
+    def kernel(v0_ref, si_ref, so_ref, ti_ref, to_ref, va_ref,
+               dv_ref, reftr_ref, sg_ref, v0e_ref, ref0_ref,
+               smid_ref, s0_ref,
                cost_out, top0_out, arg_out,
-               cost_s, sdot_s, top0_s):
+               cost_s, sdot_s, top0_s, obs_s):
         t = pl.program_id(1)
         kk_iota = jax.lax.broadcasted_iota(jnp.int32, (n_s, n_s, BLK), 0)
         sg = sg_ref[:]                           # (n_s, 1)
+        any_v = jnp.any(va_ref[:] > 0.5)
+        t_start = (t + 1).astype(jnp.float32) * dt
+        t_end = t_start + dt
+
+        def seg_fields(k):
+            si, so = si_ref[k], so_ref[k]        # (BLK,)
+            ti, to = ti_ref[k], to_ref[k]
+            mk = va_ref[k]
+            v3s, v3t = so - si, to - ti
+            nrm = v3s * v3s + v3t * v3t + 1e-24
+            return si, so, ti, to, mk, v3s, v3t, nrm
+
+        def point_cost(s_pts, t_pt):
+            """Masked summed segment-distance cost of the (n_s, 1)-station,
+            scalar-time sample set -> (n_s, BLK). Mirrors _seg_distance."""
+            acc = jnp.zeros((n_s, BLK), jnp.float32)
+            for k in range(K):
+                si, so, ti, to, mk, v3s, v3t, nrm = seg_fields(k)
+                v1s = si - s_pts                 # (n_s, BLK)
+                v1t = ti - t_pt                  # (BLK,)
+                v2s = so - s_pts
+                v2t = to - t_pt
+                d1_sq = v1s * v1s + v1t * v1t
+                d2_sq = v2s * v2s + v2t * v2t
+                cross = v1s * v3t - v1t * v3s
+                d_perp_sq = cross * cross * (1.0 / nrm)
+                p1 = v1s * v3s + v1t * v3t
+                p2 = v2s * v3s + v2t * v3t
+                endpoint = (p1 > 0) == (p2 > 0)
+                d = jnp.sqrt(
+                    jnp.where(endpoint, jnp.minimum(d1_sq, d2_sq), d_perp_sq)
+                )
+                acc = acc + mk * _cost_of(d)
+            return acc
 
         @pl.when(t == 0)
         def _init():
@@ -83,10 +141,61 @@ def speed_dp_recursion(
                 (a0 < a_hi) & (a0 > a_lo), w_acc * a0 * a0,
                 pen * w_acc * a0 * a0,
             )
-            c0 = obs0_ref[:] + ref0_ref[:] + acc0
-            cost_s[:] = c0
+            cost_s[:] = ref0_ref[:] + acc0
             sdot_s[:] = jnp.broadcast_to(v0e_ref[:], (n_s, BLK))
-            top0_s[:] = c0[n_s - 1 : n_s, :]
+
+            @pl.when(any_v)
+            def _obs0():
+                ob = jnp.zeros((n_s, BLK), jnp.float32)
+                for q in range(m):
+                    ob = ob + point_cost(
+                        s0_ref[q][:, None], float(frac_np[q]) * t0
+                    )
+                cost_s[:] = cost_s[:] + ob
+
+            top0_s[:] = cost_s[n_s - 1 : n_s, :]
+
+        # ---- obstacle cost slab for this column (skipped if no segment) ----
+        @pl.when(any_v)
+        def _obs_slab():
+            # endpoint pieces: q = 0 at (s_k, t_start), q = m-1 at
+            # (s_j, t_end) — rank-1 in (k, j)
+            costA = point_cost(sg, t_start)      # (n_s=k, BLK)
+            costB = point_cost(sg, t_end)        # (n_s=j, BLK)
+            acc = costA[:, None, :] + costB[None, :, :]
+            # interior samples: hoisted t-only/segment-only subexpressions
+            # (mirrors _edge_obs_tensors' piece C term for term)
+            for k in range(K):
+                si, so, ti, to, mk, v3s, v3t, nrm = seg_fields(k)
+                inv = 1.0 / nrm
+                for q in range(m - 2):
+                    t_p = t_start + dt * fm[q]
+                    v1t = ti - t_p               # (BLK,)
+                    v2t = to - t_p
+                    c1 = v1t * v1t
+                    c2 = v2t * v2t
+                    c3 = v1t * v3s
+                    c4 = v1t * v3t
+                    v1s = si - smid_ref[q][:, :, None]   # (k, j, BLK)
+                    d1_sq = v1s * v1s + c1
+                    v2s = v1s + v3s
+                    d2_sq = v2s * v2s + c2
+                    cross = v1s * v3t - c3
+                    d_perp_sq = cross * cross * inv
+                    p1 = v1s * v3s + c4
+                    p2 = p1 + nrm
+                    endpoint = (p1 > 0) == (p2 > 0)
+                    d = jnp.sqrt(
+                        jnp.where(
+                            endpoint, jnp.minimum(d1_sq, d2_sq), d_perp_sq
+                        )
+                    )
+                    acc = acc + mk * _cost_of(d)
+            obs_s[:] = acc
+
+        @pl.when(~any_v)
+        def _obs_zero():
+            obs_s[:] = jnp.zeros((n_s, n_s, BLK), jnp.float32)
 
         cost_prev = cost_s[:]                    # (n_s, BLK)
         sdot_prev = sdot_s[:]
@@ -98,7 +207,7 @@ def speed_dp_recursion(
         )
         total = (
             cost_prev[:, None, :]
-            + obs_tr_ref[0]                      # (n_s, n_s, BLK)
+            + obs_s[:]
             + reftr_ref[:][:, :, None]
             + acc_cost
         )
@@ -122,16 +231,16 @@ def speed_dp_recursion(
     n_steps = n_t - 1
     grid = (B // BLK, n_steps)
     interp = bool(getattr(speed_dp_recursion, "_interpret", False))
+
+    seg_spec = pl.BlockSpec((K, BLK), lambda b, t: (0, b),
+                            memory_space=pltpu.VMEM)
     cost_all_T, top0_T, args_T = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_s, BLK), lambda b, t: (0, b),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLK), lambda b, t: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_s, n_s, BLK), lambda b, t: (t, 0, 0, b),
-                         memory_space=pltpu.VMEM),
+            seg_spec, seg_spec, seg_spec, seg_spec, seg_spec,
             pl.BlockSpec((n_s, n_s), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_s, n_s), lambda b, t: (0, 0),
@@ -141,6 +250,10 @@ def speed_dp_recursion(
             pl.BlockSpec((n_s, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_s, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m - 2, n_s, n_s), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, n_s), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -160,9 +273,19 @@ def speed_dp_recursion(
             pltpu.VMEM((n_s, BLK), jnp.float32),
             pltpu.VMEM((n_s, BLK), jnp.float32),
             pltpu.VMEM((1, BLK), jnp.float32),
+            pltpu.VMEM((n_s, n_s, BLK), jnp.float32),
         ],
         interpret=interp,
-    )(obs0_T, v0[None, :], obs_tr_T, dv_c, ref_tr_c, sg_col, v0e_col, ref0_col)
+    )(
+        v0[None, :],
+        seg.s_in.T, seg.s_out.T, seg.t_in.T, seg.t_out.T,
+        seg.valid.astype(jnp.float32).T,
+        jnp.asarray(dv_np), jnp.asarray(ref_tr_np),
+        jnp.asarray(s_grid_np)[:, None],
+        jnp.asarray(v0_edge_np)[:, None],
+        jnp.asarray(ref0_np)[:, None],
+        jnp.asarray(smid_np), jnp.asarray(s0_np),
+    )
 
     top = jnp.concatenate(
         [top0_T, cost_all_T[:, n_s - 1, :]], axis=0
@@ -179,12 +302,13 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
     ``planner.speed_planner.speed_dp``.
 
     seg: STSegments with leading batch axis (B, K); v0: (B,). Returns a
-    ``SpeedDPResult`` with leading batch axis. Validated bitwise-identical
-    to the vmapped XLA DP at batch 4096 on TPU hardware (and ~25% faster:
-    89 -> 65 ms; the residual is the XLA-side obstacle tensor). Dispatched
-    onto the ``simulate_full`` hot path by ``speed_planner.speed_dp``'s
-    ``jax.custom_vmap`` rule whenever the vmapped batch fills whole lane
-    registers (B % BLK == 0) on a TPU backend.
+    ``SpeedDPResult`` with leading batch axis. Obstacle edge costs are
+    computed inside the kernel (see module docstring); numerically aligned
+    with the vmapped XLA DP (same single-sqrt distance decomposition).
+    Dispatched onto the ``simulate_full`` hot path by
+    ``speed_planner.speed_dp``'s ``jax.custom_vmap`` rule whenever the
+    vmapped batch fills whole lane registers (B % BLK == 0) on a TPU
+    backend.
     """
     from emplanner_carla_tpu.planner import speed_planner as SP
 
@@ -192,12 +316,7 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
     s_grid = jnp.asarray(np.asarray(cfg.s_grid), jnp.float32)
     t_grid = (jnp.arange(n_t, dtype=jnp.float32) + 1.0) * cfg.t_step
 
-    # shared endpoint/forward-triangle decomposition (numerically identical
-    # to the unbatched XLA DP's tensors)
-    obs0_T, obs_tr_T = jax.vmap(
-        lambda seg_row: SP._edge_obs_tensors(seg_row, cfg), out_axes=(-1, -1)
-    )(seg)
-    cost_last, top, args = speed_dp_recursion(obs0_T, obs_tr_T, v0, cfg)
+    cost_last, top, args = speed_dp_recursion(seg, v0, cfg)
 
     # termination + backtrack (vectorized; same tie-breaks as the XLA DP)
     B = v0.shape[0]
