@@ -84,11 +84,26 @@ def _sanitize(tree):
 
 
 def _lateral_error(ego: EgoState, target: Path) -> Array:
-    idx = frenet.nearest_index(ego.x, ego.y, target)
-    _, _, tr, _, _ = frenet.project_to_path(ego.x, ego.y, target, idx)
-    return -(ego.x - target.x[idx]) * jnp.sin(tr) + (
-        ego.y - target.y[idx]
-    ) * jnp.cos(tr)
+    """Signed distance to the target path at the current pose (per tick).
+
+    Lean inline of nearest_index + project_to_path sharing ONE one-hot
+    node selection: the helper pair builds a fresh one-hot per channel and
+    measured ~7.7 ms/100 ticks at batch 4096 — more than the controller
+    and plant combined — for this metrics-only value."""
+    dx = target.x - ego.x
+    dy = target.y - ego.y
+    d2 = dx * dx + dy * dy
+    oh = (
+        jax.lax.iota(jnp.int32, target.n) == jnp.argmin(d2).astype(jnp.int32)
+    ).astype(target.x.dtype)
+    xm = jnp.sum(target.x * oh)
+    ym = jnp.sum(target.y * oh)
+    tm = jnp.sum(target.theta * oh)
+    km = jnp.sum(target.kappa * oh)
+    ex, ey = ego.x - xm, ego.y - ym
+    ds = ex * jnp.cos(tm) + ey * jnp.sin(tm)
+    tr = tm + km * ds
+    return -ex * jnp.sin(tr) + ey * jnp.cos(tr)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
