@@ -12,7 +12,7 @@ turns one ego into a fleet.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -474,6 +474,136 @@ def NPCStateAt(obs: Obstacles, npc_idx: Array, k: Array):
     return npc_mod.NPCState(ego, npc_idx[k], obs.valid[k])
 
 
+def _full_ticks_base(
+    ego, pid_buf, pid_cnt, pid_last, obs, tspeed, ttime, target,
+    arrived, feas, plan_ok, dest_x, dest_y, cfg: EMConfig,
+):
+    """One plan cycle's tick loop (lights-free), unbatched XLA scan.
+
+    The semantic definition behind the Pallas tick kernel
+    (``ops/tick_pallas.py``) — same body as ``simulate_full``'s inline
+    scan with ``lights=None``. Returns
+    (ego', pid', obs', arrived', TickMetrics(plan_every, ...))."""
+    from emplanner_carla_tpu.control import pid as pid_mod
+    from emplanner_carla_tpu.ops import interp as interp_ops
+
+    lp = cfg.loop
+    tick_dt = cfg.plant.dt
+    nd = tspeed.shape[-1]
+    t_dx = ttime[1] - ttime[0]
+
+    def control_tick(carry, tick_idx):
+        ego, cs, obs, arrived = carry
+        t_rel = (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
+        w = interp_ops.uniform_hat(t_rel[None], ttime[0], t_dx, nd)
+        plan_speed = jnp.sum(w[0] * tspeed)
+        plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
+
+        vxw, vyw = ego.v_world
+        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
+        ux, uy = vxw / spd, vyw / spd
+        dxo, dyo = obs.x - ego.x, obs.y - ego.y
+        d_long = dxo * ux + dyo * uy
+        d_lat = -dxo * uy + dyo * ux
+        lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
+        d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
+        v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        tick_target_kmh = 3.6 * jnp.minimum(plan_speed, v_cap)
+
+        steer, throttle, brake, cs = vehicle.run_step(
+            ego, target, cs, tick_target_kmh, cfg.vehicle, cfg.control
+        )
+        arrived = arrived | (
+            jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
+        )
+        stop = arrived | ~plan_ok
+        steer = jnp.where(stop, 0.0, steer)
+        throttle = jnp.where(stop, 0.0, throttle)
+        brake = jnp.where(stop, 1.0, brake)
+        ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
+        obs = _advance_obstacles(obs, tick_dt)
+
+        d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
+        collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
+        m = TickMetrics(
+            ego.x, ego.y, 3.6 * ego.speed, _lateral_error(ego, target),
+            ego.phi, collided, arrived, feas & plan_ok,
+        )
+        return (ego, cs, obs, arrived), m
+
+    cs0 = vehicle.ControllerState(
+        pid_mod.PIDState(pid_buf, pid_cnt, pid_last)
+    )
+    (ego, cs, obs, arrived), metrics = jax.lax.scan(
+        control_tick, (ego, cs0, obs, arrived), jnp.arange(lp.plan_every)
+    )
+    return (
+        ego, cs.pid.buffer, cs.pid.count, cs.pid.last_error, obs, arrived,
+        metrics,
+    )
+
+
+@lru_cache(maxsize=None)
+def _tick_dispatch(cfg: EMConfig):
+    """custom_vmap: unbatched -> XLA scan; full-lane TPU batches -> the
+    Pallas whole-tick-loop kernel (``ops/tick_pallas.py``). ~1200 small
+    kernel launches per cycle collapse into one ``pallas_call``."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(ego, pid_buf, pid_cnt, pid_last, obs, tspeed, ttime, target,
+          arrived, feas, plan_ok, dest_x, dest_y):
+        return _full_ticks_base(
+            ego, pid_buf, pid_cnt, pid_last, obs, tspeed, ttime, target,
+            arrived, feas, plan_ok, dest_x, dest_y, cfg,
+        )
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, *args):
+        from emplanner_carla_tpu.ops import tick_pallas
+
+        def bcast(a, was):
+            return a if was else jnp.broadcast_to(a, (axis_size,) + a.shape)
+
+        args = tuple(
+            jax.tree.map(bcast, a, ab) for a, ab in zip(args, in_batched)
+        )
+        (ego, pid_buf, pid_cnt, pid_last, obs, tspeed, ttime, target,
+         arrived, feas, plan_ok, dest_x, dest_y) = args
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and axis_size % tick_pallas.BLK == 0
+        )
+        if use_pallas:
+            ego_n, buf_n, cnt_n, last_n, obs_n, arr_n, md = (
+                tick_pallas.run_ticks_batched(
+                    ego, pid_buf, pid_cnt, pid_last, obs, tspeed, target,
+                    arrived, feas, plan_ok, dest_x, dest_y, cfg,
+                )
+            )
+            metrics = TickMetrics(
+                md["x"], md["y"], md["speed_kmh"], md["lateral_err"],
+                md["heading"], md["collided"], md["arrived"], md["feasible"],
+            )
+            out = (ego_n, buf_n, cnt_n, last_n, obs_n, arr_n, metrics)
+        else:
+            out = jax.vmap(
+                lambda *a: _full_ticks_base(*a, cfg)
+            )(*args)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return f
+
+
+def _tick_kernel_eligible(cfg: EMConfig, lights) -> bool:
+    return (
+        lights is None
+        and cfg.control.kind == "LQR"
+        and cfg.plant.kind == "kinematic"
+        and cfg.plant.substeps == 1
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def simulate_full(
     global_path: Path,
@@ -566,14 +696,31 @@ def simulate_full(
         )
         t0 = cycle_idx.astype(jnp.float32) * lp.plan_every * tick_dt
         cs = carry.ctrl.rebind()
-        (ego, cs, obs, _, _, arrived, _, _, _), metrics = jax.lax.scan(
-            control_tick,
-            (
-                carry.ego, cs, carry.obstacles, traj,
-                target, carry.arrived, res.path.feasible, plan_ok, t0,
-            ),
-            jnp.arange(lp.plan_every),
-        )
+        if _tick_kernel_eligible(cfg, lights):
+            # whole tick loop in one Pallas kernel under vmap (XLA scan
+            # when unbatched / off-TPU) — see _tick_dispatch
+            from emplanner_carla_tpu.control import pid as pid_mod
+
+            (ego, buf_n, cnt_n, last_n, obs, arrived, metrics) = (
+                _tick_dispatch(cfg)(
+                    carry.ego, cs.pid.buffer, cs.pid.count,
+                    cs.pid.last_error, carry.obstacles, traj.speed,
+                    traj.time, target, carry.arrived, res.path.feasible,
+                    plan_ok, dest_x, dest_y,
+                )
+            )
+            cs = vehicle.ControllerState(
+                pid_mod.PIDState(buf_n, cnt_n, last_n)
+            )
+        else:
+            (ego, cs, obs, _, _, arrived, _, _, _), metrics = jax.lax.scan(
+                control_tick,
+                (
+                    carry.ego, cs, carry.obstacles, traj,
+                    target, carry.arrived, res.path.feasible, plan_ok, t0,
+                ),
+                jnp.arange(lp.plan_every),
+            )
         return (
             LoopCarry(ego, cs, res.path.match_index, obs, arrived,
                       _sanitize((res.path.qp_state, res.speed_qp_state))),

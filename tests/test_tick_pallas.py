@@ -1,0 +1,90 @@
+"""Pallas whole-tick-loop kernel vs the XLA scan tick loop.
+
+Runs through the Pallas interpreter on CPU at BLK scenarios and a short
+tick horizon; TPU-hardware validation at batch 4096 is part of the verify
+drives. The kernel must reproduce the scan's trajectories and metrics to
+f32 round-off (ulp-level op-order differences compound over ticks, so the
+bar is tight-but-not-bitwise).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emplanner_carla_tpu.config import EMConfig
+from emplanner_carla_tpu.ops import tick_pallas
+from emplanner_carla_tpu.sim import closed_loop, scenario
+
+
+def test_tick_kernel_matches_scan():
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, plan_every=25, n_plans=1)
+    )
+    B = tick_pallas.BLK
+    scs = scenario.batch_scenarios(jax.random.PRNGKey(2), B, cfg, n_path=96)
+
+    # realistic per-cycle inputs: run one plan cycle to get target + traj
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.planner import em_planner
+
+    def plan(gp, ego, obstacles):
+        mi = frenet.nearest_index(ego.x, ego.y, gp)
+        res = em_planner.plan_full_cycle(gp, ego, obstacles, mi, cfg)
+        return res.path.target, res.trajectory, res.path.feasible
+
+    target, traj, feas = jax.jit(jax.vmap(plan))(
+        scs.global_path, scs.ego0, scs.obstacles
+    )
+
+    n_buf = cfg.control.pid_buffer
+    pid_buf = jnp.zeros((B, n_buf))
+    pid_cnt = jnp.zeros((B,), jnp.int32)
+    pid_last = jnp.zeros((B,))
+    arrived = jnp.zeros((B,), bool)
+    plan_ok = jnp.ones((B,), bool)
+    dest_x = scs.global_path.x[:, -1]
+    dest_y = scs.global_path.y[:, -1]
+    args = (
+        scs.ego0, pid_buf, pid_cnt, pid_last, scs.obstacles,
+        jnp.nan_to_num(traj.speed), jnp.nan_to_num(traj.time), target,
+        arrived, feas, plan_ok, dest_x, dest_y,
+    )
+
+    ref = jax.vmap(
+        lambda *a: closed_loop._full_ticks_base(*a, cfg)
+    )(*args)
+
+    tick_pallas.run_ticks_batched._interpret = True
+    try:
+        got = tick_pallas.run_ticks_batched(
+            args[0], args[1], args[2], args[3], args[4], args[5], args[7],
+            args[8], args[9], args[10], args[11], args[12], cfg,
+        )
+    finally:
+        tick_pallas.run_ticks_batched._interpret = False
+
+    (ego_r, buf_r, cnt_r, last_r, obs_r, arr_r, met_r) = ref
+    (ego_g, buf_g, cnt_g, last_g, obs_g, arr_g, md) = got
+
+    np.testing.assert_allclose(ego_g.x, ego_r.x, atol=1e-3)
+    np.testing.assert_allclose(ego_g.y, ego_r.y, atol=1e-3)
+    np.testing.assert_allclose(ego_g.phi, ego_r.phi, atol=1e-4)
+    np.testing.assert_allclose(ego_g.vx, ego_r.vx, atol=1e-3)
+    np.testing.assert_allclose(buf_g, buf_r, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(cnt_g), np.asarray(cnt_r))
+    np.testing.assert_allclose(obs_g.x, obs_r.x, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(arr_g), np.asarray(arr_r))
+    np.testing.assert_allclose(
+        md["x"], met_r.x, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        md["lateral_err"], met_r.lateral_err, atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(md["collided"]), np.asarray(met_r.collided)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(md["feasible"]), np.asarray(met_r.feasible)
+    )
