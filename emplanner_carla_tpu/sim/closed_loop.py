@@ -193,12 +193,35 @@ def simulate(
         target = _sanitize(res.target)
         t0 = cycle_idx.astype(jnp.float32) * lp.plan_every * cfg.plant.dt
         cs = carry.ctrl.rebind()  # controller re-instantiation, test_9.py:415
-        (ego, cs, obs, _, arrived, _, _, _), metrics = jax.lax.scan(
-            control_tick,
-            (carry.ego, cs, carry.obstacles, target, carry.arrived,
-             res.feasible, plan_ok, t0),
-            jnp.arange(lp.plan_every),
-        )
+        if _tick_kernel_eligible(cfg, lights):
+            # constant target speed expressed as a constant trajectory
+            # profile: 3.6*min(v, cap) == min(3.6v, 3.6cap) exactly (both
+            # scale monotonically), so the full-EM tick kernel covers the
+            # path-only loop too — see _tick_dispatch
+            from emplanner_carla_tpu.control import pid as pid_mod
+
+            nd = cfg.speed.n_dense
+            tq = jnp.arange(nd, dtype=jnp.float32) * (
+                cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
+            )
+            tspeed = jnp.full((nd,), target_speed / 3.6)
+            (ego, buf_n, cnt_n, last_n, obs, arrived, metrics) = (
+                _tick_dispatch(cfg)(
+                    carry.ego, cs.pid.buffer, cs.pid.count,
+                    cs.pid.last_error, carry.obstacles, tspeed, tq, target,
+                    carry.arrived, res.feasible, plan_ok, dest_x, dest_y,
+                )
+            )
+            cs = vehicle.ControllerState(
+                pid_mod.PIDState(buf_n, cnt_n, last_n)
+            )
+        else:
+            (ego, cs, obs, _, arrived, _, _, _), metrics = jax.lax.scan(
+                control_tick,
+                (carry.ego, cs, carry.obstacles, target, carry.arrived,
+                 res.feasible, plan_ok, t0),
+                jnp.arange(lp.plan_every),
+            )
         # sanitize the carried ADMM state: one NaN solve must not poison
         # every subsequent cycle's warm start
         return (
