@@ -52,6 +52,7 @@ def make_pallas_qp(
     block: int = 128,
     interpret: bool = False,
     precision=jax.lax.Precision.HIGHEST,
+    warm: bool = False,
 ):
     """Build the fused solver from already-equilibrated constants.
 
@@ -59,6 +60,11 @@ def make_pallas_qp(
     Ruiz scalings; phases: [(rho_vec (m,), Kinv (n, n)), ...]. Returns
     ``solve(q, l, u)`` operating on a *batch*: q (B, n), l/u (B, m) ->
     x (B, n). B must be a multiple of ``block``.
+
+    With ``warm=True`` the solver is ``solve(q, l, u, state) -> (x, state)``
+    with ``state = (x_s (B, n), z (B, m), y (B, m))`` in the scaled space —
+    the same contract as the XLA warm path of ``qp.make_prefactored_qp``
+    (pad/unpad at the boundary is exact: padded rows/vars are inert).
     """
     n = Pt.shape[0]
     m = At.shape[0]
@@ -83,14 +89,15 @@ def make_pallas_qp(
 
     blk = block
 
-    def kernel(q_ref, l_ref, u_ref, A_ref, AT_ref, Kinv_ref, rho_ref,
-               x_out, x_s, z_s, y_s):
+    def kernel(q_ref, l_ref, u_ref, x0_ref, z0_ref, y0_ref,
+               A_ref, AT_ref, Kinv_ref, rho_ref,
+               x_out, zs_out, ys_out, x_s, z_s, y_s):
         qs = q_ref[:]                      # (block, n_pad) pre-scaled
         ls = l_ref[:]                      # (block, m_pad)
         us = u_ref[:]
-        x_s[:] = jnp.zeros((blk, n_pad), jnp.float32)
-        z_s[:] = jnp.clip(jnp.zeros((blk, m_pad), jnp.float32), ls, us)
-        y_s[:] = jnp.zeros((blk, m_pad), jnp.float32)
+        x_s[:] = x0_ref[:]
+        z_s[:] = jnp.clip(z0_ref[:], ls, us)
+        y_s[:] = y0_ref[:]
 
         for ph in range(n_phases):
             rho = rho_ref[ph : ph + 1, :]      # (1, m_pad) — keep 2-D for Mosaic
@@ -126,16 +133,23 @@ def make_pallas_qp(
             jax.lax.fori_loop(0, iters_per_phase, body, 0)
 
         x_out[:] = x_s[:]
+        zs_out[:] = z_s[:]
+        ys_out[:] = y_s[:]
 
-    A_c = jnp.asarray(A_p)
-    AT_c = jnp.asarray(AT_p)
-    Kinv_c = jnp.asarray(Kinv_p)
-    rho_c = jnp.asarray(rho_p)
-    D_c = jnp.asarray(D_p)
-    E_c = jnp.asarray(E_p)
-    c_c = jnp.float32(c)
+    c_f = float(c)
 
-    def solve(q: Array, l: Array, u: Array) -> Array:
+    def _run(q: Array, l: Array, u: Array, x0, z0, y0):
+        # constants converted per call, NOT at factory time: the factory is
+        # invoked inside lru_cached solver builders that run during jit
+        # traces — jnp arrays created there leak that trace's context into
+        # later traces ("No constant handler for DynamicJaxprTracer")
+        A_c = jnp.asarray(A_p)
+        AT_c = jnp.asarray(AT_p)
+        Kinv_c = jnp.asarray(Kinv_p)
+        rho_c = jnp.asarray(rho_p)
+        D_c = jnp.asarray(D_p)
+        E_c = jnp.asarray(E_p)
+        c_c = jnp.float32(c_f)
         B = q.shape[0]
         assert B % block == 0, f"batch {B} not a multiple of block {block}"
         # scale + pad per-instance data
@@ -148,17 +162,19 @@ def make_pallas_qp(
         u_s = jnp.full((B, m_pad), BIG, jnp.float32).at[:, :m].set(
             E_c[:m] * u
         )
+        x0_p = jnp.zeros((B, n_pad), jnp.float32).at[:, :n].set(x0)
+        z0_p = jnp.zeros((B, m_pad), jnp.float32).at[:, :m].set(z0)
+        y0_p = jnp.zeros((B, m_pad), jnp.float32).at[:, :m].set(y0)
 
-        x_pad = pl.pallas_call(
+        bspec_n = pl.BlockSpec((block, n_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        bspec_m = pl.BlockSpec((block, m_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        x_pad, z_pad, y_pad = pl.pallas_call(
             kernel,
             grid=(B // block,),
             in_specs=[
-                pl.BlockSpec((block, n_pad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, m_pad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, m_pad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                bspec_n, bspec_m, bspec_m, bspec_n, bspec_m, bspec_m,
                 pl.BlockSpec((m_pad, n_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_pad, m_pad), lambda i: (0, 0),
@@ -168,16 +184,35 @@ def make_pallas_qp(
                 pl.BlockSpec((n_phases, m_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((block, n_pad), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
+            out_specs=(bspec_n, bspec_m, bspec_m),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, m_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, m_pad), jnp.float32),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block, n_pad), jnp.float32),
                 pltpu.VMEM((block, m_pad), jnp.float32),
                 pltpu.VMEM((block, m_pad), jnp.float32),
             ],
             interpret=interpret,
-        )(q_s, l_s, u_s, A_c, AT_c, Kinv_c, rho_c)
-        return D_c[None, :n] * x_pad[:, :n]
+        )(q_s, l_s, u_s, x0_p, z0_p, y0_p, A_c, AT_c, Kinv_c, rho_c)
+        return x_pad, z_pad, y_pad
+
+    if warm:
+        def solve(q, l, u, state):
+            x0, z0, y0 = state
+            x_pad, z_pad, y_pad = _run(q, l, u, x0, z0, y0)
+            x_s = x_pad[:, :n]
+            D_u = jnp.asarray(D_p[:n])
+            return D_u[None, :] * x_s, (x_s, z_pad[:, :m], y_pad[:, :m])
+        return solve
+
+    def solve(q: Array, l: Array, u: Array) -> Array:
+        B = q.shape[0]
+        zeros_n = jnp.zeros((B, n), jnp.float32)
+        zeros_m = jnp.zeros((B, m), jnp.float32)
+        x_pad, _, _ = _run(q, l, u, zeros_n, zeros_m, zeros_m)
+        return jnp.asarray(D_p[:n])[None, :] * x_pad[:, :n]
 
     return solve

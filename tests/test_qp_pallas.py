@@ -46,3 +46,52 @@ def test_pallas_matches_jnp_prefactored():
     x2 = solve_pl(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u))
     assert bool(jnp.all(jnp.isfinite(x2)))
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=5e-3)
+
+
+def test_pallas_warm_matches_jnp_prefactored():
+    """Warm-state contract: the fused kernel must consume and produce the
+    same scaled-space (x, z, y) state as the XLA warm path (the closed
+    loops carry it across replan cycles)."""
+    n = 25
+    P_np, A_np, eq_mask, fi, bi = _qp_constants(n, 4.0, CFG)
+    nv = A_np.shape[1]
+    m = A_np.shape[0]
+    q_typ = np.zeros(nv)
+    q_typ[0 : 3 * n : 3] = -1000.0
+    kw = dict(q_typical=q_typ, iters_per_phase=4, warm=True,
+              warm_iters_per_phase=3)
+    solve_jnp = qpmod.make_prefactored_qp(P_np, A_np, eq_mask, **kw)
+    solve_pl = qpmod.make_prefactored_qp(
+        P_np, A_np, eq_mask, **kw,
+        use_pallas=True, pallas_block=8, pallas_interpret=True,
+    )
+    B = 8
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(B, nv)).astype(np.float32) * 100.0
+    u = np.concatenate(
+        [np.zeros((B, 48)), np.full((B, 200), 8.0), np.zeros((B, 6)),
+         np.full((B, n), 1e8)], axis=1
+    ).astype(np.float32)
+    l = np.concatenate(
+        [np.zeros((B, 48)), np.full((B, 200), -1e8), np.zeros((B, 6)),
+         np.zeros((B, n))], axis=1
+    ).astype(np.float32)
+    state = (
+        jnp.asarray(rng.normal(size=(B, nv)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(B, m)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(B, m)).astype(np.float32) * 0.1),
+    )
+    x1, s1 = jax.vmap(solve_jnp)(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u), state)
+    x2, s2 = solve_pl(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u), state)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=5e-3)
+    # primal state channels agree elementwise; the dual y on equality rows
+    # random-walks at rho_eq_scale * ulp per iteration between op orders
+    # (verified: one iteration diverges in y only, x/z to 1e-5), so the
+    # warm-state contract is checked FUNCTIONALLY: the carried state must
+    # yield the same next-cycle solution.
+    np.testing.assert_allclose(np.asarray(s2[0]), np.asarray(s1[0]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s2[1]), np.asarray(s1[1]), atol=5e-3)
+    q2 = jnp.asarray(q * 1.05)
+    x1b, _ = jax.vmap(solve_jnp)(q2, jnp.asarray(l), jnp.asarray(u), s1)
+    x2b, _ = solve_pl(q2, jnp.asarray(l), jnp.asarray(u), s2)
+    np.testing.assert_allclose(np.asarray(x2b), np.asarray(x1b), atol=5e-3)
