@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from emplanner_carla_tpu.config import EMConfig
 from emplanner_carla_tpu.types import Array
 
-BLK = 128
+BLK = 128   # minimum lane-block: dispatch requires B % BLK == 0
 
 ACC_STANDOFF = 7.0
 ACC_HEADWAY = 1.4
@@ -65,6 +65,13 @@ def run_ticks_batched(
 
     B = ego.x.shape[0]
     assert B % BLK == 0
+    # grid blocks execute sequentially on the TensorCore; pick the largest
+    # lane block dividing B (the MPC branch runs a 40-iteration per-tick
+    # ADMM whose serial latency scales with the block count — 32 blocks of
+    # 128 measured SLOWER than the XLA scan). 1024 lanes exceeds the 16 MB
+    # scoped-VMEM limit (by 444 KB, via the streaming metric buffers);
+    # 512 fits.
+    blk = next(c for c in (512, 256, 128) if B % c == 0)
     K = obs.x.shape[1]
     n_path = target.x.shape[1]
     n_dense = traj_speed.shape[1]
@@ -72,7 +79,23 @@ def run_ticks_batched(
     n_ticks = cfg.loop.plan_every
 
     cc, vp, lp = cfg.control, cfg.vehicle, cfg.plant
-    vx_grid_np, K_table_np = lateral.lqr_gain_table(cfg.vehicle, cc)
+    kind = cc.kind
+    plant_kind = lp.kind
+    if kind == "MPC":
+        vx_grid_np, Minv_np, G1_np, g2_np = lateral.mpc_tables(cfg.vehicle, cc)
+        nu = g2_np.shape[1]
+        # transposed for the per-lane table lerp as one MXU contraction:
+        # value(lane) = table.T @ sel(lane)
+        consts_np = [
+            Minv_np.reshape(Minv_np.shape[0], nu * nu).T,  # (nu*nu, n_tab)
+        ] + [
+            G1_np[:, :, k].T for k in range(4)             # 4 x (nu, n_tab)
+        ] + [
+            g2_np.T,                                       # (nu, n_tab)
+        ]
+    else:
+        vx_grid_np, K_table_np = lateral.lqr_gain_table(cfg.vehicle, cc)
+        consts_np = [K_table_np]                           # (n_tab, 4)
     n_tab = vx_grid_np.shape[0]
     tab_v0 = float(vx_grid_np[0])
     tab_dv = float(vx_grid_np[1] - vx_grid_np[0])
@@ -88,18 +111,22 @@ def run_ticks_batched(
     tau_eff = max(vp.steer_tau, dt)
     arrival_d2 = float(cfg.loop.arrival_dist) ** 2
 
-    def kernel(ego_ref, pbuf_ref, pmisc_ref, obsr_ref, spd_ref, tgt_ref,
-               flag_ref, dest_ref, ktab_ref,
-               ego_out, pbuf_out, pmisc_out, obs_out, arr_out,
-               mx_out, my_out, mv_out, ml_out, mh_out, mc_out, ma_out,
-               mf_out):
-        iota_path = jax.lax.broadcasted_iota(jnp.int32, (n_path, BLK), 0)
-        iota_tab = jax.lax.broadcasted_iota(jnp.int32, (n_tab, BLK), 0)
+    n_consts = len(consts_np)
+
+    def kernel(*refs):
+        (ego_ref, pbuf_ref, pmisc_ref, obsr_ref, spd_ref, tgt_ref,
+         flag_ref, dest_ref) = refs[:8]
+        const_refs = refs[8 : 8 + n_consts]
+        (ego_out, pbuf_out, pmisc_out, obs_out, arr_out,
+         mx_out, my_out, mv_out, ml_out, mh_out, mc_out, ma_out,
+         mf_out) = refs[8 + n_consts :]
+        iota_path = jax.lax.broadcasted_iota(jnp.int32, (n_path, blk), 0)
+        iota_tab = jax.lax.broadcasted_iota(jnp.int32, (n_tab, blk), 0)
         iota_nd = jax.lax.broadcasted_iota(
             jnp.int32, (n_dense, 1), 0
         ).astype(jnp.float32)
 
-        tgt_x, tgt_y = tgt_ref[0], tgt_ref[1]          # (n_path, BLK)
+        tgt_x, tgt_y = tgt_ref[0], tgt_ref[1]          # (n_path, blk)
         tgt_th, tgt_k = tgt_ref[2], tgt_ref[3]
         feas_v = flag_ref[0:1]                         # (1, BLK)
         ok_v = flag_ref[1:2]
@@ -113,7 +140,7 @@ def run_ticks_batched(
             px, py: (1, BLK); returns four (1, BLK) channels."""
             ddx = tgt_x - px
             ddy = tgt_y - py
-            d2 = ddx * ddx + ddy * ddy                  # (n_path, BLK)
+            d2 = ddx * ddx + ddy * ddy                  # (n_path, blk)
             mn = jnp.min(d2, axis=0, keepdims=True)
             first = jnp.min(
                 jnp.where(d2 <= mn, iota_path, n_path), axis=0, keepdims=True
@@ -154,7 +181,8 @@ def run_ticks_batched(
             v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
             tick_kmh = 3.6 * jnp.minimum(plan_speed, v_cap)
 
-            # --- LQR steer (lateral.lqr_steer + tracking_error) ---
+            # --- lateral steer: shared predicted-pose tracking error, then
+            # LQR gain table or condensed-MPC box ADMM (lateral.py) ---
             vxs = jnp.where(
                 vx < 0,
                 jnp.minimum(vx, -cc.min_vx),
@@ -166,12 +194,7 @@ def run_ticks_batched(
             sel = (
                 (iota_tab == ii).astype(jnp.float32) * (1.0 - wf)
                 + (iota_tab == ii + 1).astype(jnp.float32) * wf
-            )                                           # (n_tab, BLK)
-            def gain(j):
-                return jnp.sum(
-                    sel * ktab_ref[:, j : j + 1], axis=0, keepdims=True
-                )
-            k0, k1, k2, k3 = gain(0), gain(1), gain(2), gain(3)
+            )                                           # (n_tab, blk)
 
             ts = cc.ts_predict
             xp = x + (vxs * cphi - vy * sphi) * ts
@@ -189,14 +212,60 @@ def run_ticks_batched(
             e_phi = sd_
             s_dot = (vxs * cd - vy * sd_) / (1.0 - km * e_d)
             e_phi_dot = omega - km * s_dot
-            ff = km * (
-                a + b - b * k2
-                - (b / cf + a * k2 / cr - a / cr) * (m_veh * vxs * vxs) / L_wb
-            )
-            delta = -(k0 * e_d + k1 * e_d_dot + k2 * e_phi + k3 * e_phi_dot) + ff
-            steer_cmd = jnp.clip(
-                delta / max_steer, -cc.steer_limit, cc.steer_limit
-            )
+
+            if kind == "MPC":
+                hp = jax.lax.Precision.HIGHEST
+                (minv_ref, g10_ref, g11_ref, g12_ref, g13_ref,
+                 g2t_ref) = const_refs
+
+                def lerp(ref):
+                    return jnp.dot(
+                        ref[:], sel, precision=hp,
+                        preferred_element_type=jnp.float32,
+                    )
+
+                minv_l = lerp(minv_ref).reshape(nu, nu, blk)
+                g1e = (
+                    lerp(g10_ref) * e_d + lerp(g11_ref) * e_d_dot
+                    + lerp(g12_ref) * e_phi + lerp(g13_ref) * e_phi_dot
+                )                                       # (nu, blk)
+                f_vec = 2.0 * (g1e + km * lerp(g2t_ref))
+                rho_m = 1.0
+
+                def admm(_, st):
+                    xx, zz, ud = st
+                    v = rho_m * (zz - ud) - f_vec
+                    xx = jnp.sum(minv_l * v[None, :, :], axis=1)
+                    zz = jnp.clip(xx + ud, -1.0, 1.0)
+                    ud = ud + xx - zz
+                    return xx, zz, ud
+
+                z0 = jnp.zeros((nu, blk), jnp.float32)
+                _, zf, _ = jax.lax.fori_loop(
+                    0, cc.mpc_admm_iters, admm, (z0, z0, z0)
+                )
+                steer_cmd = jnp.clip(
+                    zf[0:1], -cc.steer_limit, cc.steer_limit
+                )
+            else:
+                (ktab_ref,) = const_refs
+
+                def gain(j):
+                    return jnp.sum(
+                        sel * ktab_ref[:, j : j + 1], axis=0, keepdims=True
+                    )
+                k0, k1, k2, k3 = gain(0), gain(1), gain(2), gain(3)
+                ff = km * (
+                    a + b - b * k2
+                    - (b / cf + a * k2 / cr - a / cr)
+                    * (m_veh * vxs * vxs) / L_wb
+                )
+                delta = -(
+                    k0 * e_d + k1 * e_d_dot + k2 * e_phi + k3 * e_phi_dot
+                ) + ff
+                steer_cmd = jnp.clip(
+                    delta / max_steer, -cc.steer_limit, cc.steer_limit
+                )
 
             # --- PID (pid.pid_step) ---
             err = tick_kmh - 3.6 * jnp.sqrt(vx * vx + vy * vy)  # (1, BLK)
@@ -230,7 +299,7 @@ def run_ticks_batched(
             thr_g = jnp.where(stop, 0.0, throttle)
             brk_g = jnp.where(stop, 1.0, brake)
 
-            # --- kinematic plant (plant.kinematic_step) ---
+            # --- plant (plant.kinematic_step / dynamic_step) ---
             accel = thr_g * vp.max_accel - brk_g * vp.max_brake_decel
             desired = (steer_g - steer_ap) * dt / tau_eff
             change = jnp.clip(
@@ -238,15 +307,34 @@ def run_ticks_batched(
             )
             steer_ap = jnp.clip(steer_ap + change, -1.0, 1.0)
             delta_w = jnp.clip(steer_ap, -1.0, 1.0) * max_steer
-            v_n = jnp.maximum(vx + accel * dt, 0.0)
-            omega_n = v_n * jnp.tan(delta_w) / L_wb
-            phi_n = phi + omega_n * dt
-            cpn, spn = jnp.cos(phi_n), jnp.sin(phi_n)
-            x_n = x + v_n * cpn * dt
-            y_n = y + v_n * spn * dt
+            if plant_kind == "dynamic":
+                vx_safe_p = jnp.maximum(vx, 0.5)
+                alpha_f = (vy + vp.a * omega) / vx_safe_p - delta_w
+                alpha_r = (vy - vp.b * omega) / vx_safe_p
+                mu_g = 1.0 * 9.81
+                fzf = m_veh * mu_g * b / L_wb
+                fzr = m_veh * mu_g * a / L_wb
+                fyf = jnp.clip(cf * alpha_f, -fzf, fzf)
+                fyr = jnp.clip(cr * alpha_r, -fzr, fzr)
+                vy_dot = (fyf + fyr) / m_veh - vx * omega
+                omega_dot = (vp.a * fyf - vp.b * fyr) / vp.iz
+                v_n = jnp.maximum(vx + accel * dt, 0.0)
+                vy_n = jnp.where(v_n > 0.1, vy + vy_dot * dt, 0.0)
+                omega_n = jnp.where(v_n > 0.1, omega + omega_dot * dt, 0.0)
+                phi_n = phi + omega_n * dt
+                cpn, spn = jnp.cos(phi_n), jnp.sin(phi_n)
+                x_n = x + (v_n * cpn - vy_n * spn) * dt
+                y_n = y + (vy_n * cpn + v_n * spn) * dt
+            else:
+                v_n = jnp.maximum(vx + accel * dt, 0.0)
+                omega_n = v_n * jnp.tan(delta_w) / L_wb
+                phi_n = phi + omega_n * dt
+                cpn, spn = jnp.cos(phi_n), jnp.sin(phi_n)
+                x_n = x + v_n * cpn * dt
+                y_n = y + v_n * spn * dt
+                vy_n = jnp.zeros_like(v_n)
             ax_n = accel * cpn
             ay_n = accel * spn
-            vy_n = jnp.zeros_like(v_n)
 
             # --- obstacles advance + collision ---
             ox = ox + ovx * dt
@@ -320,22 +408,26 @@ def run_ticks_batched(
     def bspec(shape):
         nd = len(shape)
         return pl.BlockSpec(
-            shape + (BLK,), (lambda b, _n=nd: (0,) * _n + (b,)),
+            shape + (blk,), (lambda b, _n=nd: (0,) * _n + (b,)),
             memory_space=pltpu.VMEM,
         )
 
     out_tick = pl.BlockSpec(
-        (n_ticks, BLK), lambda b: (0, b), memory_space=pltpu.VMEM
+        (n_ticks, blk), lambda b: (0, b), memory_space=pltpu.VMEM
     )
     interp = bool(getattr(run_ticks_batched, "_interpret", False))
     outs = pl.pallas_call(
         kernel,
-        grid=(B // BLK,),
+        grid=(B // blk,),
         in_specs=[
             bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K)),
             bspec((n_dense,)), bspec((4, n_path)), bspec((3,)), bspec((2,)),
-            pl.BlockSpec((n_tab, 4), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(
+                c.shape, (lambda b, _n=c.ndim: (0,) * _n),
+                memory_space=pltpu.VMEM,
+            )
+            for c in consts_np
         ],
         out_specs=(
             bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K)),
@@ -356,7 +448,7 @@ def run_ticks_batched(
     )(
         ego_in, pid_buffer.T.astype(jnp.float32), pmisc_in, obs_in,
         traj_speed.T.astype(jnp.float32), tgt_in, flag_in, dest_in,
-        jnp.asarray(K_table_np),
+        *[jnp.asarray(np_c) for np_c in consts_np],
     )
 
     (ego_o, pbuf_o, pmisc_o, obs_o, arr_o,

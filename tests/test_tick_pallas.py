@@ -18,9 +18,19 @@ from emplanner_carla_tpu.ops import tick_pallas
 from emplanner_carla_tpu.sim import closed_loop, scenario
 
 
-def test_tick_kernel_matches_scan():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "ctrl,plant_kind",
+    [("LQR", "kinematic"), ("MPC", "dynamic")],
+)
+def test_tick_kernel_matches_scan(ctrl, plant_kind):
+    base = EMConfig()
     cfg = EMConfig(
-        loop=dataclasses.replace(EMConfig().loop, plan_every=25, n_plans=1)
+        loop=dataclasses.replace(base.loop, plan_every=25, n_plans=1),
+        control=dataclasses.replace(base.control, kind=ctrl),
+        plant=dataclasses.replace(base.plant, kind=plant_kind),
     )
     B = tick_pallas.BLK
     scs = scenario.batch_scenarios(jax.random.PRNGKey(2), B, cfg, n_path=96)
