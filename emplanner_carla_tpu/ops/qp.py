@@ -461,25 +461,17 @@ def make_prefactored_qp(
             jax.tree.map(bcast, a, ab) for a, ab in zip(args, in_batched)
         )
 
-    if warm:
-        @custom_vmap
-        def solve_cv(q, l, u, state):
-            return solve(q, l, u, state)
-
-        @solve_cv.def_vmap
-        def _rule(axis_size, in_batched, *args):
-            args = _bcast_all(axis_size, in_batched, args)
-            if _eligible(axis_size):
-                out = pallas_solve(*args)
-            else:
-                out = jax.vmap(solve)(*args)
-            return out, jax.tree.map(lambda _: True, out)
-
-        return solve_cv
+    if not warm:
+        # cold solves stay on the XLA ladder: at bf16x3 it beats the
+        # 6-pass fused kernel on throughput (standalone-solve benchmarks
+        # regressed ~15% when cold solves dispatched to the kernel), and
+        # cold solves appear only in the open-loop/standalone paths where
+        # the closed loops' precision-sensitivity argument doesn't apply
+        return solve
 
     @custom_vmap
-    def solve_cv(q, l, u):
-        return solve(q, l, u)
+    def solve_cv(q, l, u, state):
+        return solve(q, l, u, state)
 
     @solve_cv.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -488,7 +480,7 @@ def make_prefactored_qp(
             out = pallas_solve(*args)
         else:
             out = jax.vmap(solve)(*args)
-        return out, True
+        return out, jax.tree.map(lambda _: True, out)
 
     return solve_cv
 

@@ -8,18 +8,18 @@ reduction ends a fusion), so 100 ticks cost ~1200 kernel launches —
 measured 7.5 ms/batch-4096 after op-level tuning, almost entirely launch
 latency rather than arithmetic.
 
-This kernel runs the whole tick loop for a block of 128 scenarios in one
-``pallas_call``: state lives in registers/VMEM across ticks (batch in the
-lane dimension, path/table/buffer axes in sublanes; every per-scenario
-value is kept (1, BLK)-shaped — Mosaic's vector layouts want rank >= 2),
-and per-tick metrics stream to VMEM output buffers. The math mirrors
-``sim/closed_loop._full_ticks_base`` term for term
-(reference anchors: ``controller.py:374-611`` LQR, ``:614-677`` PID,
-``:694-724`` facade; ``test_9.py:333-446`` loop pacing/arrival brake).
-
-Eligibility (enforced by the dispatcher in ``sim/closed_loop``): LQR
-lateral control, kinematic plant with ``substeps == 1``, no traffic
-lights, batch a multiple of BLK.
+This kernel runs the whole tick loop for a block of up to 512 scenarios
+in one ``pallas_call``: state lives in registers/VMEM across ticks (batch
+in the lane dimension, path/table/buffer axes in sublanes; every
+per-scenario value is kept (1, blk)-shaped — Mosaic's vector layouts want
+rank >= 2), and per-tick metrics stream to VMEM output buffers. The math
+mirrors ``sim/closed_loop._full_ticks_base`` term for term
+(reference anchors: ``controller.py:374-611`` LQR, ``:65-336`` MPC,
+``:614-677`` PID, ``:694-724`` facade; ``test_9.py:333-446`` loop
+pacing/arrival brake). Both lateral controllers (LQR gain table /
+condensed-MPC box ADMM) and both plants (kinematic / friction-limited
+dynamic bicycle) are implemented; see ``_tick_kernel_eligible`` for
+which combinations production dispatch routes here.
 """
 
 from __future__ import annotations
