@@ -22,7 +22,6 @@ padded constraint rows have zero A-rows and +-inf bounds (their z, y stay
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
