@@ -250,6 +250,15 @@ class ControlConfig:
     mpc_n: int = 6              # prediction horizon
     mpc_p: int = 2              # control horizon
     mpc_admm_iters: int = 40
+    # per-tick iterations when the box ADMM is warm-started from the
+    # previous tick's (z, u_d) (carried in ControllerState.mpc, reset each
+    # replan like the reference's fresh controller). The unconstrained
+    # fast path u* = -inv(2H) f is exact whenever |u*|inf <= 1 (the common
+    # tracking regime), so the ADMM only has to polish saturated ticks —
+    # 10 warm iterations match the cold 40-iteration solve on the
+    # closed-loop fidelity bar (tests/test_fidelity.py) while cutting the
+    # MPC tick's serial depth 4x.
+    mpc_warm_admm_iters: int = 10
     # shared lateral
     ts_discretize: float = 0.1
     ts_predict: float = 0.1

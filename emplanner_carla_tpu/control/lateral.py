@@ -255,7 +255,10 @@ def mpc_tables(
     with a prefactored inverse.
 
     Returns NumPy: (vx_grid (n,), Minv (n,u,u) = inv(2H + rho I),
-    G1 (n,u,4), g2 (n,u)) with u = mpc_n * mpc_p.
+    G1 (n,u,4), g2 (n,u), Hinv2 (n,u,u) = inv(2H)) with u = mpc_n * mpc_p.
+    Hinv2 drives the unconstrained fast path: u* = -Hinv2 f is the EXACT
+    QP solution whenever it is box-interior (|u*|inf <= 1), which is every
+    tick of ordinary tracking — the ADMM only resolves saturated ticks.
     """
     import numpy as np
 
@@ -275,6 +278,7 @@ def mpc_tables(
     Minv_t = np.zeros((n, nu, nu))
     G1_t = np.zeros((n, nu, nx))
     g2_t = np.zeros((n, nu))
+    Hinv2_t = np.zeros((n, nu, nu))
     for gi, vx in enumerate(vx_grid):
         A = np.zeros((4, 4))
         A[0, 1] = 1.0
@@ -317,11 +321,13 @@ def mpc_tables(
         Minv_t[gi] = np.linalg.inv(2.0 * H + rho * np.eye(nu))
         G1_t[gi] = Cmat.T @ Qbar @ M
         g2_t[gi] = (Cmat.T @ Qbar @ Cc)[:, 0]
+        Hinv2_t[gi] = np.linalg.inv(2.0 * H)
     return (
         vx_grid.astype(np.float32),
         Minv_t.astype(np.float32),
         G1_t.astype(np.float32),
         g2_t.astype(np.float32),
+        Hinv2_t.astype(np.float32),
     )
 
 
@@ -331,30 +337,89 @@ def mpc_steer(
     vp: VehicleParams,
     cfg: ControlConfig,
 ):
-    """One condensed-MPC lateral control step (``controller.py:253-336``),
-    table-driven: lerp (Minv, G1, g2) at Vx, f = 2(G1 e + kappa g2), then a
+    """One cold-started condensed-MPC lateral control step
+    (``controller.py:253-336``), table-driven: lerp (Minv, G1, g2, Hinv2)
+    at Vx, f = 2(G1 e + kappa g2), unconstrained fast path + a
     fixed-iteration box ADMM with the prefactored inverse; first control
-    applied."""
+    applied. See ``mpc_steer_warm`` for the closed-loop entry that carries
+    the ADMM state across ticks."""
     with jax.default_matmul_precision("highest"):
-        return _mpc_steer_table(s, target, vp, cfg)
+        steer, idx, _ = _mpc_steer_table(
+            s, target, vp, cfg, None, cfg.mpc_admm_iters
+        )
+        return steer, idx
 
 
-def _mpc_steer_table(s, target, vp, cfg):
+def mpc_steer_warm(
+    s: EgoState,
+    target: Path,
+    vp: VehicleParams,
+    cfg: ControlConfig,
+    warm,
+):
+    """Warm-started MPC step -> (steer, idx, (z, u_d)).
+
+    ``warm = (z, u_d)`` is the previous tick's box-ADMM state (zeros on the
+    first tick of a plan cycle — ``ControllerState.rebind`` resets it, the
+    analogue of the reference re-instantiating its controller per replan,
+    ``test_9.py:415-417``). Successive ticks solve near-identical QPs, so
+    ``cfg.mpc_warm_admm_iters`` (10) replaces the cold 40; the
+    unconstrained fast path makes box-interior ticks *exact* regardless."""
+    with jax.default_matmul_precision("highest"):
+        return _mpc_steer_table(s, target, vp, cfg, warm, cfg.mpc_warm_admm_iters)
+
+
+@lru_cache(maxsize=None)
+def _ustar_tables(vp: VehicleParams, cfg: ControlConfig, rho: float = 1.0):
+    """Fold the unconstrained inverse into the error/curvature maps:
+    u* = -inv(2H) f = W1 @ e + kappa * w2 with W1 = -2 inv(2H) G1 (n,u,4)
+    and w2 = -2 inv(2H) g2 (n,u). Fetching these per tick costs 60 values
+    instead of the 144-wide Hinv2 row (per-lane gathers of wide tables
+    measured as the dominant MPC tick cost on TPU)."""
+    import numpy as np
+
+    _, _, G1_np, g2_np, Hinv2_np = mpc_tables(vp, cfg, rho=rho)
+    W1 = -2.0 * np.einsum("nij,njk->nik", Hinv2_np, G1_np)
+    w2 = -2.0 * np.einsum("nij,nj->ni", Hinv2_np, g2_np)
+    return W1.astype(np.float32), w2.astype(np.float32)
+
+
+def _mpc_steer_table(s, target, vp, cfg, warm, iters):
     rho = 1.0
     vx = safe_vx(s, cfg)
     e, kappa, idx = tracking_error(s, target, cfg)
-    vx_grid_np, Minv_np, G1_np, g2_np = mpc_tables(vp, cfg, rho=rho)
+    vx_grid_np, Minv_np, G1_np, g2_np, _ = mpc_tables(vp, cfg, rho=rho)
+    W1_np, w2_np = _ustar_tables(vp, cfg, rho=rho)
     v0 = float(vx_grid_np[0])
     dv = float(vx_grid_np[1] - vx_grid_np[0])
+    n_tab = vx_grid_np.shape[0]
+    nu = g2_np.shape[1]
 
-    Minv = _uniform_lerp(Minv_np, vx, v0, dv)
-    G1 = _uniform_lerp(G1_np, vx, v0, dv)
-    g2 = _uniform_lerp(g2_np, vx, v0, dv)
+    # one-hot lerp weights: table fetches become (n_tab,)-contractions
+    # (batched matmuls under vmap) instead of per-lane gathers of wide
+    # tables — the gather of the (n_tab, nu, nu) Minv measured as the
+    # dominant MPC tick cost at batch 4096 (see frenet._gather)
+    pos = jnp.clip((vx - v0) / dv, 0.0, n_tab - 1.0)
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, n_tab - 2)
+    w = pos - i0.astype(pos.dtype)
+    ar = jnp.arange(n_tab)
+    sel = (ar == i0).astype(jnp.float32) * (1.0 - w) + (
+        ar == i0 + 1
+    ).astype(jnp.float32) * w                      # (n_tab,)
+
+    Minv = (sel @ Minv_np.reshape(n_tab, nu * nu)).reshape(nu, nu)
+    G1 = (sel @ G1_np.reshape(n_tab, nu * 4)).reshape(nu, 4)
+    g2 = sel @ jnp.asarray(g2_np)
+    W1 = (sel @ W1_np.reshape(n_tab, nu * 4)).reshape(nu, 4)
+    w2 = sel @ jnp.asarray(w2_np)
     f = 2.0 * (G1 @ e + kappa * g2)  # (nu,)
 
-    nu = f.shape[0]
     lb = -jnp.ones(nu)
     ub = jnp.ones(nu)
+
+    # unconstrained fast path: exact whenever box-interior
+    ustar = W1 @ e + kappa * w2
+    interior = jnp.max(jnp.abs(ustar)) <= 1.0
 
     def body(_, state):
         x, z, u_d = state
@@ -363,12 +428,19 @@ def _mpc_steer_table(s, target, vp, cfg):
         u_d = u_d + x - z
         return x, z, u_d
 
-    z0 = jnp.zeros(nu)
-    _, z, _ = jax.lax.fori_loop(
-        0, cfg.mpc_admm_iters, body, (z0, z0, jnp.zeros(nu))
-    )
-    steer = jnp.clip(z[0], -cfg.steer_limit, cfg.steer_limit)
-    return steer, idx
+    if warm is None:
+        z0 = jnp.zeros(nu)
+        ud0 = jnp.zeros(nu)
+    else:
+        z0, ud0 = warm
+    _, z, u_d = jax.lax.fori_loop(0, iters, body, (z0, z0, ud0))
+    steer = jnp.where(interior, ustar[0], z[0])
+    steer = jnp.clip(steer, -cfg.steer_limit, cfg.steer_limit)
+    # next tick's warm state: at an interior optimum the ADMM fixed point
+    # is x = z = u*, u_d = 0 (zero active-set dual)
+    warm_z = jnp.where(interior, ustar, z)
+    warm_ud = jnp.where(interior, jnp.zeros(nu), u_d)
+    return steer, idx, (warm_z, warm_ud)
 
 
 def mpc_steer_exact(

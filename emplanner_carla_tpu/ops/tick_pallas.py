@@ -82,7 +82,9 @@ def run_ticks_batched(
     kind = cc.kind
     plant_kind = lp.kind
     if kind == "MPC":
-        vx_grid_np, Minv_np, G1_np, g2_np = lateral.mpc_tables(cfg.vehicle, cc)
+        vx_grid_np, Minv_np, G1_np, g2_np, Hinv2_np = lateral.mpc_tables(
+            cfg.vehicle, cc
+        )
         nu = g2_np.shape[1]
         # transposed for the per-lane table lerp as one MXU contraction:
         # value(lane) = table.T @ sel(lane)
@@ -92,6 +94,7 @@ def run_ticks_batched(
             G1_np[:, :, k].T for k in range(4)             # 4 x (nu, n_tab)
         ] + [
             g2_np.T,                                       # (nu, n_tab)
+            Hinv2_np.reshape(Hinv2_np.shape[0], nu * nu).T,
         ]
     else:
         vx_grid_np, K_table_np = lateral.lqr_gain_table(cfg.vehicle, cc)
@@ -154,7 +157,9 @@ def run_ticks_batched(
 
         def body(i, st):
             (x, y, phi, vx, vy, omega, _ax, _ay, steer_ap,
-             buf, cnt, last, ox, oy, ovx, ovy, ovalid, arr) = st
+             buf, cnt, last, ox, oy, ovx, ovy, ovalid, arr) = st[:18]
+            # MPC only: per-tick-carried box-ADMM warm state (nu, blk)
+            mpc_z, mpc_ud = st[18:] if kind == "MPC" else (None, None)
             # all per-scenario values (1, BLK); obstacle arrays (K, BLK)
 
             # --- planned speed at t_rel (uniform hat, scalar time) ---
@@ -216,7 +221,7 @@ def run_ticks_batched(
             if kind == "MPC":
                 hp = jax.lax.Precision.HIGHEST
                 (minv_ref, g10_ref, g11_ref, g12_ref, g13_ref,
-                 g2t_ref) = const_refs
+                 g2t_ref, hinv2_ref) = const_refs
 
                 def lerp(ref):
                     return jnp.dot(
@@ -225,12 +230,20 @@ def run_ticks_batched(
                     )
 
                 minv_l = lerp(minv_ref).reshape(nu, nu, blk)
+                hinv2_l = lerp(hinv2_ref).reshape(nu, nu, blk)
                 g1e = (
                     lerp(g10_ref) * e_d + lerp(g11_ref) * e_d_dot
                     + lerp(g12_ref) * e_phi + lerp(g13_ref) * e_phi_dot
                 )                                       # (nu, blk)
                 f_vec = 2.0 * (g1e + km * lerp(g2t_ref))
                 rho_m = 1.0
+
+                # unconstrained fast path (lateral._mpc_steer_table):
+                # exact whenever box-interior
+                ustar = -jnp.sum(hinv2_l * f_vec[None, :, :], axis=1)
+                interior = (
+                    jnp.max(jnp.abs(ustar), axis=0, keepdims=True) <= 1.0
+                )                                       # (1, blk)
 
                 def admm(_, st):
                     xx, zz, ud = st
@@ -240,13 +253,17 @@ def run_ticks_batched(
                     ud = ud + xx - zz
                     return xx, zz, ud
 
-                z0 = jnp.zeros((nu, blk), jnp.float32)
-                _, zf, _ = jax.lax.fori_loop(
-                    0, cc.mpc_admm_iters, admm, (z0, z0, z0)
+                # warm-started across ticks (mpc_z/mpc_ud in the tick
+                # carry, zeros at cycle start == ControllerState.rebind)
+                _, zf, udf = jax.lax.fori_loop(
+                    0, cc.mpc_warm_admm_iters, admm, (mpc_z, mpc_z, mpc_ud)
                 )
                 steer_cmd = jnp.clip(
-                    zf[0:1], -cc.steer_limit, cc.steer_limit
+                    jnp.where(interior, ustar[0:1], zf[0:1]),
+                    -cc.steer_limit, cc.steer_limit,
                 )
+                mpc_z = jnp.where(interior, ustar, zf)
+                mpc_ud = jnp.where(interior, 0.0, udf)
             else:
                 (ktab_ref,) = const_refs
 
@@ -366,17 +383,24 @@ def run_ticks_batched(
             ma_out[row, :] = arr
             mf_out[row, :] = feas_v * ok_v
 
-            return (x_n, y_n, phi_n, v_n, vy_n, omega_n, ax_n, ay_n,
-                    steer_ap, buf, cnt, last, ox, oy, ovx, ovy, ovalid, arr)
+            out_state = (x_n, y_n, phi_n, v_n, vy_n, omega_n, ax_n, ay_n,
+                         steer_ap, buf, cnt, last, ox, oy, ovx, ovy, ovalid,
+                         arr)
+            if kind == "MPC":
+                out_state = out_state + (mpc_z, mpc_ud)
+            return out_state
 
         init = tuple(ego_ref[i : i + 1] for i in range(9)) + (
             pbuf_ref[:], pmisc_ref[0:1], pmisc_ref[1:2],
             obsr_ref[0], obsr_ref[1], obsr_ref[2], obsr_ref[3], obsr_ref[4],
             flag_ref[2:3],
         )
+        if kind == "MPC":
+            z0 = jnp.zeros((nu, blk), jnp.float32)
+            init = init + (z0, z0)
         out = jax.lax.fori_loop(0, n_ticks, body, init)
         (x, y, phi, vx, vy, omega, ax_, ay_, st_ap,
-         buf, cnt, last, ox, oy, ovx, ovy, ovalid, arr) = out
+         buf, cnt, last, ox, oy, ovx, ovy, ovalid, arr) = out[:18]
         ego_out[:] = jnp.concatenate(
             [x, y, phi, vx, vy, omega, ax_, ay_, st_ap]
         )

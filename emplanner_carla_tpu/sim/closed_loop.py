@@ -213,7 +213,7 @@ def simulate(
                 )
             )
             cs = vehicle.ControllerState(
-                pid_mod.PIDState(buf_n, cnt_n, last_n)
+                pid_mod.PIDState(buf_n, cnt_n, last_n), cs.mpc
             )
         else:
             (ego, cs, obs, _, arrived, _, _, _), metrics = jax.lax.scan(
@@ -554,8 +554,12 @@ def _full_ticks_base(
         )
         return (ego, cs, obs, arrived), m
 
-    cs0 = vehicle.ControllerState(
-        pid_mod.PIDState(pid_buf, pid_cnt, pid_last)
+    # MPC kind: start the cycle's ADMM warm state at zeros, exactly as
+    # ControllerState.rebind() does in the outer loops — the Pallas tick
+    # kernel makes the same choice in-kernel, so neither path needs to
+    # thread MPC state across the kernel boundary
+    cs0 = vehicle.ControllerState.init(cfg.control)._replace(
+        pid=pid_mod.PIDState(pid_buf, pid_cnt, pid_last)
     )
     (ego, cs, obs, arrived), metrics = jax.lax.scan(
         control_tick, (ego, cs0, obs, arrived), jnp.arange(lp.plan_every)
@@ -619,15 +623,16 @@ def _tick_dispatch(cfg: EMConfig):
 
 
 def _tick_kernel_eligible(cfg: EMConfig, lights) -> bool:
-    # The kernel also implements the MPC branch (interpret-tested in
-    # tests/test_tick_pallas.py) but production dispatch keeps MPC on the
-    # XLA scan: the per-tick 40-iteration box ADMM is serial-depth-bound,
-    # and XLA's full-batch iterations amortize that latency better than
-    # the kernel's per-block loop (measured 55.3k vs 71.8k cycles/s on
-    # the MPC+dynamic benchmark config at batch 4096).
+    # Both controller kinds dispatch to the kernel. Round 2 kept MPC on
+    # the XLA scan (cold 40-iteration ADMM: kernel 55.3k vs XLA 71.8k
+    # cycles/s); round 3's warm-started ADMM (10 iters, carried across
+    # ticks in-kernel) + unconstrained fast path flipped that — re-measured
+    # 143.9k (kernel) vs 142.7k (XLA) on the MPC+dynamic full-EM config at
+    # batch 4096. Equivalence across all four controller x plant pairs is
+    # pinned by tests/test_tick_pallas.py interpret-mode runs.
     return (
         lights is None
-        and cfg.control.kind == "LQR"
+        and cfg.control.kind in ("LQR", "MPC")
         and cfg.plant.kind in ("kinematic", "dynamic")
         and cfg.plant.substeps == 1
     )
@@ -739,7 +744,7 @@ def simulate_full(
                 )
             )
             cs = vehicle.ControllerState(
-                pid_mod.PIDState(buf_n, cnt_n, last_n)
+                pid_mod.PIDState(buf_n, cnt_n, last_n), cs.mpc
             )
         else:
             (ego, cs, obs, _, _, arrived, _, _, _), metrics = jax.lax.scan(
