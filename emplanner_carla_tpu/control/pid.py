@@ -33,6 +33,35 @@ class PIDState(NamedTuple):
         )
 
 
+def pid_core(buffer, count, last_row, error_row, cfg: ControlConfig):
+    """Shape-generic PID tick shared by the scalar scan path and the Pallas
+    tick kernel (where every per-lane value is a ``(1, blk)`` row and the
+    buffer is ``(n_buf, blk)`` — single-sourcing the integral-separation
+    semantics across both, per the tick-loop equivalence contract).
+
+    ``buffer``: (n_buf, *rest); ``error_row``/``last_row``: (1, *rest);
+    ``count``: scalar or (1, *rest), int or float. Returns
+    (cmd_row, buffer', count', error_row) with count' shaped like the
+    ``jnp.where`` broadcast of count against the row shape."""
+    buffer = jnp.concatenate([buffer[1:], error_row])
+    count = jnp.minimum(count + 1, cfg.pid_buffer)
+
+    have_two = count >= 2
+    integral = jnp.where(
+        have_two, jnp.sum(buffer, axis=0, keepdims=True) * cfg.pid_dt, 0.0
+    )
+    deriv = jnp.where(have_two, (error_row - last_row) / cfg.pid_dt, 0.0)
+
+    # integral separation (controller.py:667-671)
+    separate = jnp.abs(error_row) > cfg.integral_sep_threshold
+    integral = jnp.where(separate, 0.0, integral)
+    buffer = jnp.where(separate, jnp.zeros_like(buffer), buffer)
+    count = jnp.where(separate, 0, count)
+
+    cmd = cfg.kp * error_row + cfg.ki * integral + cfg.kd * deriv
+    return cmd, buffer, count, error_row
+
+
 def pid_step(
     state: PIDState, speed_mps: Array, target_kmh: Array, cfg: ControlConfig
 ):
@@ -46,21 +75,10 @@ def pid_step(
     the whole control tick; the shift is a free layout change. The window
     sum is unchanged (evicted slots are zero-filled on reset)."""
     error = target_kmh - 3.6 * speed_mps
-    buffer = jnp.concatenate([state.buffer[1:], error[None]])
-    count = jnp.minimum(state.count + 1, cfg.pid_buffer)
-
-    have_two = count >= 2
-    integral = jnp.where(have_two, jnp.sum(buffer) * cfg.pid_dt, 0.0)
-    deriv = jnp.where(have_two, (error - state.last_error) / cfg.pid_dt, 0.0)
-
-    # integral separation (controller.py:667-671)
-    separate = jnp.abs(error) > cfg.integral_sep_threshold
-    integral = jnp.where(separate, 0.0, integral)
-    buffer = jnp.where(separate, jnp.zeros_like(buffer), buffer)
-    count = jnp.where(separate, 0, count)
-
-    cmd = cfg.kp * error + cfg.ki * integral + cfg.kd * deriv
-    return cmd, PIDState(buffer, count, error)
+    cmd, buffer, count, _ = pid_core(
+        state.buffer, state.count, state.last_error[None], error[None], cfg
+    )
+    return cmd[0], PIDState(buffer, count[0], error)
 
 
 def split_throttle_brake(cmd: Array):

@@ -34,9 +34,10 @@ from emplanner_carla_tpu.types import Array
 
 BLK = 128   # minimum lane-block: dispatch requires B % BLK == 0
 
-ACC_STANDOFF = 7.0
-ACC_HEADWAY = 1.4
-COLLISION_RADIUS = 1.5
+# single-sourced with the XLA scan bodies (see sim/loop_constants.py)
+from emplanner_carla_tpu.sim.loop_constants import (  # noqa: E402
+    ACC_HEADWAY, ACC_STANDOFF, COLLISION_RADIUS,
+)
 
 
 def run_ticks_batched(
@@ -61,6 +62,8 @@ def run_ticks_batched(
     ``TickMetrics`` channel semantics.
     """
     from emplanner_carla_tpu.control import lateral
+    from emplanner_carla_tpu.control import pid as pid_mod
+    from emplanner_carla_tpu.sim import plant as plant_mod
     from emplanner_carla_tpu.types import EgoState, Obstacles
 
     B = ego.x.shape[0]
@@ -111,7 +114,6 @@ def run_ticks_batched(
     cf, cr, m_veh = vp.cf, vp.cr, vp.mass
     L_wb = a + b
     max_steer = vp.max_steer_rad
-    tau_eff = max(vp.steer_tau, dt)
     arrival_d2 = float(cfg.loop.arrival_dist) ** 2
 
     n_consts = len(consts_np)
@@ -284,23 +286,10 @@ def run_ticks_batched(
                     delta / max_steer, -cc.steer_limit, cc.steer_limit
                 )
 
-            # --- PID (pid.pid_step) ---
+            # --- PID: the shared shape-generic core (pid.pid_core) ---
             err = tick_kmh - 3.6 * jnp.sqrt(vx * vx + vy * vy)  # (1, BLK)
-            buf = jnp.concatenate([buf[1:], err])
-            cnt = jnp.minimum(cnt + 1.0, float(n_buf))
-            have2 = cnt >= 2.0
-            integral = jnp.where(
-                have2, jnp.sum(buf, axis=0, keepdims=True) * cc.pid_dt, 0.0
-            )
-            deriv = jnp.where(have2, (err - last) / cc.pid_dt, 0.0)
-            sep = jnp.abs(err) > cc.integral_sep_threshold
-            integral = jnp.where(sep, 0.0, integral)
-            buf = jnp.where(sep, 0.0, buf)
-            cnt = jnp.where(sep, 0.0, cnt)
-            cmd = cc.kp * err + cc.ki * integral + cc.kd * deriv
-            last = err
-            throttle = jnp.clip(cmd, 0.0, 1.0)
-            brake = jnp.clip(-cmd, 0.0, 1.0)
+            cmd, buf, cnt, last = pid_mod.pid_core(buf, cnt, last, err, cc)
+            throttle, brake = pid_mod.split_throttle_brake(cmd)
 
             # --- arrival + stop gating (pre-step pose, test_9.py:441-446) ---
             ddestx = x - destx
@@ -316,42 +305,12 @@ def run_ticks_batched(
             thr_g = jnp.where(stop, 0.0, throttle)
             brk_g = jnp.where(stop, 1.0, brake)
 
-            # --- plant (plant.kinematic_step / dynamic_step) ---
-            accel = thr_g * vp.max_accel - brk_g * vp.max_brake_decel
-            desired = (steer_g - steer_ap) * dt / tau_eff
-            change = jnp.clip(
-                desired, -vp.steer_rate * dt, vp.steer_rate * dt
-            )
-            steer_ap = jnp.clip(steer_ap + change, -1.0, 1.0)
-            delta_w = jnp.clip(steer_ap, -1.0, 1.0) * max_steer
-            if plant_kind == "dynamic":
-                vx_safe_p = jnp.maximum(vx, 0.5)
-                alpha_f = (vy + vp.a * omega) / vx_safe_p - delta_w
-                alpha_r = (vy - vp.b * omega) / vx_safe_p
-                mu_g = 1.0 * 9.81
-                fzf = m_veh * mu_g * b / L_wb
-                fzr = m_veh * mu_g * a / L_wb
-                fyf = jnp.clip(cf * alpha_f, -fzf, fzf)
-                fyr = jnp.clip(cr * alpha_r, -fzr, fzr)
-                vy_dot = (fyf + fyr) / m_veh - vx * omega
-                omega_dot = (vp.a * fyf - vp.b * fyr) / vp.iz
-                v_n = jnp.maximum(vx + accel * dt, 0.0)
-                vy_n = jnp.where(v_n > 0.1, vy + vy_dot * dt, 0.0)
-                omega_n = jnp.where(v_n > 0.1, omega + omega_dot * dt, 0.0)
-                phi_n = phi + omega_n * dt
-                cpn, spn = jnp.cos(phi_n), jnp.sin(phi_n)
-                x_n = x + (v_n * cpn - vy_n * spn) * dt
-                y_n = y + (vy_n * cpn + v_n * spn) * dt
-            else:
-                v_n = jnp.maximum(vx + accel * dt, 0.0)
-                omega_n = v_n * jnp.tan(delta_w) / L_wb
-                phi_n = phi + omega_n * dt
-                cpn, spn = jnp.cos(phi_n), jnp.sin(phi_n)
-                x_n = x + v_n * cpn * dt
-                y_n = y + v_n * spn * dt
-                vy_n = jnp.zeros_like(v_n)
-            ax_n = accel * cpn
-            ay_n = accel * spn
+            # --- plant: the shared elementwise steppers (sim/plant.py) run
+            # directly on (1, blk) rows — one edit site for the physics ---
+            ego_row = EgoState(x, y, phi, vx, vy, omega, _ax, _ay, steer_ap)
+            ego_n = plant_mod.step(ego_row, steer_g, thr_g, brk_g, vp, lp)
+            (x_n, y_n, phi_n, v_n, vy_n, omega_n, ax_n, ay_n,
+             steer_ap) = ego_n
 
             # --- obstacles advance + collision ---
             ox = ox + ovx * dt

@@ -57,9 +57,10 @@ class LoopCarry(NamedTuple):
     qp_warm: object = None
 
 
-COLLISION_RADIUS = 1.5
-ACC_STANDOFF = 7.0   # metres kept to a lead obstacle when stopped
-ACC_HEADWAY = 1.4    # seconds of time headway
+# single-sourced with the Pallas tick kernel (see sim/loop_constants.py)
+from emplanner_carla_tpu.sim.loop_constants import (  # noqa: E402
+    ACC_HEADWAY, ACC_STANDOFF, COLLISION_RADIUS,
+)
 
 
 def _advance_obstacles(obs: Obstacles, dt: float) -> Obstacles:
