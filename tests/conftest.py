@@ -1,16 +1,53 @@
-"""Test harness: CPU backend (+ a virtual multi-device mesh when possible).
+"""Test harness: CPU backend + an 8-device virtual mesh.
 
 Forces CPU and requests an 8-device virtual mesh via
-``xla_force_host_platform_device_count``. Caveat: when the ambient axon
-sitecustomize is on PYTHONPATH it replaces jax's CPU client, which ignores
-that flag — the suite then runs on one device and the mesh tests adapt
-(tests/test_fleet.py). True 8-way sharding is validated by
-``__graft_entry__.dryrun_multichip`` in a clean environment (the driver does
-this; manual check: ``env -i PATH=... /opt/venv/bin/python -c "import
-__graft_entry__ as g; g.dryrun_multichip(8)"``).
+``xla_force_host_platform_device_count``. The ambient axon sitecustomize
+(``/root/.axon_site`` on PYTHONPATH) replaces jax's CPU client with a
+tunnel-latency client that ignores that flag — measured: ONE trivial
+scalar pull cost 400 s under pytest (the suite's former 317 s
+``test_collision_depth`` mystery) and the mesh collapsed to one device.
+sitecustomize runs at interpreter startup, before any conftest, so the
+only clean fix is to re-exec pytest once with the axon path scrubbed —
+done below, guarded by an env flag.
+
+One subtlety: pytest's fd-level capture is already active while initial
+conftests load (the capture plugin wraps ``pytest_load_initial_conftests``),
+so fds 1/2 point at capture temp files; a bare ``execve`` makes the whole
+re-exec'd run write into an orphaned temp file (observed: zero output,
+exit 0). pytest keeps a dup of each real fd in ``FDCaptureBase
+.targetfd_save`` (pytest 8.4: ``FDCapture``/``FDCaptureBinary`` are
+*siblings* under that base) — restore those before exec'ing.
 """
 
 import os
+import sys
+
+_AXON_SITE = "/root/.axon_site"
+if os.environ.get("_EMPLANNER_AXON_SCRUBBED") != "1" and any(
+    _AXON_SITE in p for p in sys.path
+):
+    try:  # undo pytest's fd capture so the exec'd run keeps real stdio
+        import gc
+
+        from _pytest.capture import FDCaptureBase
+
+        for _obj in gc.get_objects():
+            if (
+                isinstance(_obj, FDCaptureBase)
+                and getattr(_obj, "targetfd_save", None) is not None
+            ):
+                os.dup2(_obj.targetfd_save, _obj.targetfd)
+    except Exception:
+        pass
+    env = dict(os.environ)
+    env["_EMPLANNER_AXON_SCRUBBED"] = "1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and _AXON_SITE not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, list(sys.orig_argv), env)
 
 # Force CPU even when the ambient environment selects a TPU platform
 # (the harness exports JAX_PLATFORMS=axon; setdefault would not override it).
