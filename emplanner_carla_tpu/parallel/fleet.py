@@ -75,6 +75,11 @@ def fleet_simulate(
         # feasible is constant within a plan cycle: count infeasible cycles
         # from each cycle's first tick (metrics are (b, n_plans, plan_every))
         infeasible = jnp.sum(1.0 - metrics.feasible[..., 0].astype(jnp.float32))
+        # valid ST segments the st_top_m compression dropped (constant
+        # within a cycle: first ticks only; always 0 for path-only loops)
+        seg_dropped = jnp.sum(
+            metrics.segments_dropped[..., 0].astype(jnp.float32)
+        )
         # cross-chip reductions ride ICI
         tot_sq = jax.lax.psum(sq_sum, DATA_AXIS)
         tot_ticks = jax.lax.psum(n_ticks, DATA_AXIS)
@@ -82,6 +87,7 @@ def fleet_simulate(
         tot_speed = jax.lax.psum(speed_sum, DATA_AXIS)
         tot_b = jax.lax.psum(jnp.asarray(b, jnp.float32), DATA_AXIS)
         tot_infeasible = jax.lax.psum(infeasible, DATA_AXIS)
+        tot_dropped = jax.lax.psum(seg_dropped, DATA_AXIS)
         agg = jnp.stack(
             [
                 jnp.sqrt(tot_sq / tot_ticks),
@@ -89,6 +95,7 @@ def fleet_simulate(
                 tot_col,
                 tot_b,
                 tot_infeasible,
+                tot_dropped,
             ]
         )
         return metrics, agg
@@ -100,4 +107,5 @@ def fleet_simulate(
         "collisions": agg[2],
         "n_scenarios": agg[3],
         "infeasible_cycles": agg[4],
+        "segments_dropped": agg[5],
     }
