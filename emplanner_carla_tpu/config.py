@@ -274,18 +274,28 @@ class ControlConfig:
     pid_buffer: int = 60
     integral_sep_threshold: float = 1.0  # km/h
     steer_limit: float = 1.0
+    # Heading-error convention: the main controllers use sin(phi - theta_r)
+    # against angle multivaluedness (``controller.py:555,892`` — the
+    # commented alternative); the experimental
+    # Lateral_MPC__with_feedforward_controller keeps the raw difference
+    # ``e_fi = fi - theta_r`` (``controller.py:891``). True reproduces the
+    # variant's raw error (falls back to the XLA tick scan — the Pallas
+    # tick kernel implements the sin convention only).
+    raw_heading_error: bool = False
 
 
 def mpc_feedforward_variant(base: "ControlConfig" = None) -> "ControlConfig":
     """The reference's experimental ``Lateral_MPC__with_feedforward_controller``
-    (``controller.py:727-990``): N=4, P=2, Q=diag(200,1,1,1), F=10I. Its
+    (``controller.py:727-990``): N=4, P=2, Q=diag(200,1,1,1), F=10I, and the
+    un-approximated heading error ``e_fi = fi - theta_r``
+    (``controller.py:891`` — the main path sin()s it, :555). Its other
     structural difference from the main MPC — the affine Cc feedforward term
-    in the cost — is already part of control/lateral.mpc_steer, so the
-    variant is purely a weight preset."""
+    in the cost — is already part of control/lateral.mpc_steer."""
     base = base or ControlConfig()
     return dataclasses.replace(
         base, kind="MPC", mpc_n=4,
         mpc_q=(200.0, 1.0, 1.0, 1.0), mpc_f=(10.0, 10.0, 10.0, 10.0),
+        raw_heading_error=True,
     )
 
 

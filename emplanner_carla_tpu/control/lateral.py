@@ -111,7 +111,10 @@ def tracking_error(s: EgoState, target: Path, cfg: ControlConfig):
     e_s = tx * dx + ty * dy
     theta_r = thm + kappa * e_s
     e_d_dot = s.vy * jnp.cos(phi - theta_r) + vx * jnp.sin(phi - theta_r)
-    e_phi = jnp.sin(phi - theta_r)  # sin() vs the wrap (controller.py:555)
+    if cfg.raw_heading_error:
+        e_phi = phi - theta_r  # the ff-variant's raw e_fi (controller.py:891)
+    else:
+        e_phi = jnp.sin(phi - theta_r)  # sin() vs the wrap (controller.py:555)
     s_dot = (vx * jnp.cos(phi - theta_r) - s.vy * jnp.sin(phi - theta_r)) / (
         1.0 - kappa * e_d
     )

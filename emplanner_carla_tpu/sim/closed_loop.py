@@ -651,6 +651,7 @@ def _tick_kernel_eligible(cfg: EMConfig, lights) -> bool:
     return (
         lights is None
         and cfg.control.kind in ("LQR", "MPC")
+        and not cfg.control.raw_heading_error  # kernel implements sin() only
         and cfg.plant.kind in ("kinematic", "dynamic")
         and cfg.plant.substeps == 1
     )

@@ -105,6 +105,44 @@ def gnss(ego: EgoState, key=None, sigma: float = 0.0):
     return ego.x + nx, ego.y + ny
 
 
+class GnssFix(NamedTuple):
+    latitude: Array   # degrees
+    longitude: Array  # degrees
+    altitude: Array   # metres
+
+
+# WGS84 equatorial radius — the sphere CARLA's GeoLocation conversion uses
+_EARTH_RADIUS = 6378137.0
+
+
+def gnss_geodetic(
+    ego: EgoState,
+    lat0: float = 0.0,
+    lon0: float = 0.0,
+    alt0: float = 0.0,
+    key=None,
+    sigma_deg: float = 0.0,
+):
+    """Geodetic fix (latitude, longitude, altitude) like the reference's
+    ``carla.GnssMeasurement`` callback fields (``Sensors_other_lib.py:72-74``).
+
+    CARLA converts world metres to degrees on a spherical earth anchored at
+    the map's geo-reference; the same local-tangent inverse here: north (+y
+    world) moves latitude, east (+x world) moves longitude scaled by
+    cos(lat0). ``sigma_deg`` is the per-axis Gaussian noise the reference's
+    blueprint attributes expose and zero (``Sensors_other_lib.py:58-63``)."""
+    scale = 180.0 / (jnp.pi * _EARTH_RADIUS)
+    lat = lat0 + ego.y * scale
+    lon = lon0 + ego.x * scale / jnp.cos(jnp.deg2rad(lat0))
+    alt = jnp.asarray(alt0, jnp.float32)
+    if key is not None and sigma_deg > 0.0:
+        import jax
+
+        nlat, nlon = jax.random.normal(key, (2,)) * sigma_deg
+        lat, lon = lat + nlat, lon + nlon
+    return GnssFix(lat, lon, alt)
+
+
 def imu(ego: EgoState):
     """Body-frame (ax, ay) + yaw rate."""
     c, s = jnp.cos(ego.phi), jnp.sin(ego.phi)

@@ -68,6 +68,25 @@ class TestSensors:
         )
         assert float(x2) != 100.0
 
+    def test_gnss_geodetic(self):
+        # One degree of latitude = earth_radius * pi/180 metres north.
+        m_per_deg = sensors._EARTH_RADIUS * np.pi / 180.0
+        fix = sensors.gnss_geodetic(make_ego(x=0.0, y=m_per_deg))
+        assert float(fix.latitude) == pytest.approx(1.0, rel=1e-5)
+        assert float(fix.longitude) == pytest.approx(0.0, abs=1e-7)
+        # Longitude degrees shrink by cos(lat0) away from the equator.
+        fix60 = sensors.gnss_geodetic(
+            make_ego(x=m_per_deg, y=0.0), lat0=60.0, alt0=3.0
+        )
+        assert float(fix60.longitude) == pytest.approx(2.0, rel=1e-4)
+        assert float(fix60.latitude) == pytest.approx(60.0, rel=1e-6)
+        assert float(fix60.altitude) == 3.0
+        # Noise hook mirrors the blueprint sigma attributes.
+        noisy = sensors.gnss_geodetic(
+            make_ego(), key=jax.random.PRNGKey(1), sigma_deg=1e-4
+        )
+        assert float(noisy.latitude) != 0.0
+
 
 class TestNPC:
     def test_presets_ordering(self):

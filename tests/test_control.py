@@ -56,6 +56,32 @@ def test_tracking_error_signs():
     assert float(e2[2]) == pytest.approx(np.sin(0.1), abs=1e-3)
 
 
+def test_raw_heading_error_variant():
+    """The ff-variant keeps e_phi = phi - theta_r un-approximated
+    (controller.py:891) while the main path sin()s it (:555)."""
+    import dataclasses
+
+    from emplanner_carla_tpu.config import mpc_feedforward_variant
+    from emplanner_carla_tpu.sim import closed_loop
+
+    n = 100
+    target = frenet.path_from_xy(jnp.arange(n) * 2.0, jnp.zeros(n))
+    ego = make_ego(x=40.0, y=0.0, phi=0.7, vx=10.0)
+    cc_raw = dataclasses.replace(CC, raw_heading_error=True)
+    e_raw, _, _ = lateral.tracking_error(ego, target, cc_raw)
+    e_sin, _, _ = lateral.tracking_error(ego, target, CC)
+    assert float(e_raw[2]) == pytest.approx(0.7, abs=1e-3)
+    assert float(e_sin[2]) == pytest.approx(np.sin(0.7), abs=1e-3)
+
+    variant = mpc_feedforward_variant()
+    assert variant.raw_heading_error and variant.kind == "MPC"
+    # The Pallas tick kernel implements the sin convention only — the
+    # variant must fall back to the XLA scan.
+    cfg = dataclasses.replace(CFG, control=variant)
+    assert not closed_loop._tick_kernel_eligible(cfg, None)
+    assert closed_loop._tick_kernel_eligible(CFG, None)
+
+
 @pytest.mark.parametrize("kind", ["LQR", "MPC"])
 def test_lateral_steer_direction(kind):
     """Offset left => steer right (negative), and vice versa."""
