@@ -128,6 +128,40 @@ def main():
                     "unit": "cycles/s"})
     print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
+    # --- config 7: agent-traffic fleet, full EM — the test_9-faithful
+    # shape (a BehaviorAgent NPC driving the ego's route,
+    # test_9.py:288-291,344): every dynamic slot runs the IDM/pure-pursuit
+    # agent reacting to the ego per tick ---
+    f7 = jax.jit(jax.vmap(
+        lambda g, e, o: closed_loop.simulate_traffic(
+            g, e, o, cfg, behavior="normal", full=True
+        )[1].lateral_err
+    ))
+    t = timed(f7, scs.global_path, scs.ego0, scs.obstacles)
+    results.append({"config": "7_agent_traffic_full_em",
+                    "value": round(B * cfg.loop.n_plans / t, 1),
+                    "unit": "cycles/s"})
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
+
+    # --- config 8: drive-from-pixels fleet (camera -> detector -> tracker
+    # -> planner; beyond-reference — the reference's YOLO demo feeds
+    # nothing downstream, simulation_2.py:159-233). Smaller batch: each
+    # cycle renders a 96x64 raycast frame per scenario. ---
+    from emplanner_carla_tpu.sim import pixel_loop
+
+    B8 = 1024
+    scs8 = scenario.batch_scenarios(jax.random.PRNGKey(3), B8, cfg)
+    f8 = jax.jit(jax.vmap(
+        lambda g, e, o: pixel_loop.simulate_pixels(
+            g, e, o, cfg
+        )[1].ticks.lateral_err
+    ))
+    t = timed(f8, scs8.global_path, scs8.ego0, scs8.obstacles)
+    results.append({"config": "8_pixel_loop_path",
+                    "value": round(B8 * cfg.loop.n_plans / t, 1),
+                    "unit": "cycles/s"})
+    print(json.dumps({**results[-1], "batch": B8, "chips": 1}), flush=True)
+
 
 if __name__ == "__main__":
     main()

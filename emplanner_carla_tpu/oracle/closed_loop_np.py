@@ -634,6 +634,77 @@ def densify_np(s, sd, sdd, t, sp):
     return s_d, v_d, tq
 
 
+def _speed_stage(target, ego, accel, dyn, cfg):
+    """S-T speed planning on a freshly planned path, float64 (mirror of
+    em_planner.plan_full_cycle's speed half). ``dyn``: [(x, y, vx, vy)]
+    current dynamic-obstacle snapshot. Returns the densified
+    (t_dense, v_dense) profile."""
+    from emplanner_carla_tpu.oracle import speed_np
+
+    tx, ty, tth, tk = target
+    sp = cfg.speed
+    s_dot0 = max(
+        (ego[3] * math.cos(ego[2]) - ego[4] * math.sin(ego[2]))
+        * math.cos(tth[0])
+        + (ego[4] * math.cos(ego[2]) + ego[3] * math.sin(ego[2]))
+        * math.sin(tth[0]),
+        0.0,
+    )
+    axw = accel * math.cos(ego[2])
+    ayw = accel * math.sin(ego[2])
+    s_ddot0 = axw * math.cos(tth[0]) + ayw * math.sin(tth[0])
+    path_s = np.concatenate(
+        [[0.0], np.cumsum(np.hypot(np.diff(tx), np.diff(ty)))]
+    )
+    # dynamic obstacles -> Frenet rates vs the NEW path (perceive gates)
+    obs_s, obs_l, obs_sd, obs_ld = [], [], [], []
+    for (dx_, dy_, dvx_, dvy_) in dyn:
+        dd = math.hypot(dx_ - ego[0], dy_ - ego[1])
+        vxw = ego[3] * math.cos(ego[2]) - ego[4] * math.sin(ego[2])
+        vyw = ego[4] * math.cos(ego[2]) + ego[3] * math.sin(ego[2])
+        spd = max(math.hypot(vxw, vyw), 0.5)
+        lon = ((dx_ - ego[0]) * vxw + (dy_ - ego[1]) * vyw) / spd
+        if dd >= cfg.loop.perception_range or lon <= cfg.loop.behind_gate:
+            continue
+        if math.hypot(dvx_, dvy_) <= cfg.loop.dynamic_speed_gate:
+            continue
+        i = int(np.argmin((tx - dx_) ** 2 + (ty - dy_) ** 2))
+        thr = tth[i]
+        nx_, ny_ = -math.sin(thr), math.cos(thr)
+        tx_, ty_ = math.cos(thr), math.sin(thr)
+        # project exactly like ops/frenet.dynamic_obs_frenet: position
+        # projection first, then rates vs the projection point
+        dxp, dyp = dx_ - tx[i], dy_ - ty[i]
+        ds_ = dxp * tx_ + dyp * ty_
+        xr = tx[i] + ds_ * tx_
+        yr = ty[i] + ds_ * ty_
+        thr2 = thr + tk[i] * ds_
+        nx2, ny2 = -math.sin(thr2), math.cos(thr2)
+        tx2, ty2 = math.cos(thr2), math.sin(thr2)
+        l_ = (dx_ - xr) * nx2 + (dy_ - yr) * ny2
+        obs_s.append(path_s[i] + ds_)
+        obs_l.append(l_)
+        obs_ld.append(dvx_ * nx2 + dvy_ * ny2)
+        obs_sd.append((dvx_ * tx2 + dvy_ * ty2) / (1.0 - tk[i] * l_))
+    segs = speed_np.st_graph(
+        obs_s, obs_l, obs_sd, obs_ld, sp.lateral_gate, sp.l_dot_gate,
+        sp.t_min_gate, sp.t_max_gate,
+    )
+    s_grid = np.asarray(sp.s_grid)
+    dp_s, dp_valid, end_col = speed_np.speed_dp(
+        segs, s_dot0, s_grid, sp.n_t, sp.t_step, sp.reference_speed,
+        sp.w_ref_speed, sp.w_accel, sp.accel_penalty,
+    )
+    s_lb, s_ub, sd_lb, sd_ub = convex_space_np(
+        dp_s, dp_valid, end_col, segs, path_s, tk, sp
+    )
+    qs, qv, qa, qt = speed_qp_scipy(
+        s_dot0, s_ddot0, s_lb, s_ub, sd_lb, sd_ub, sp
+    )
+    _s_d, v_d, t_d = densify_np(qs, qv, qa, qt, sp)
+    return t_d, v_d
+
+
 def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5):
     """Full EM closed loop (path + S-T speed planning), float64 — the
     oracle for closed_loop.simulate_full (test_10's intent, quirk Q10).
@@ -641,82 +712,21 @@ def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5):
     statics: [(x, y)]; dynamics: [(x, y, vx, vy)] advancing at constant
     velocity each tick. Returns (traj_x, traj_y) per tick.
     """
-    from emplanner_carla_tpu.oracle import speed_np
-
     ego = ego0
     applied = 0.0
     accel = 0.0
-    sp = cfg.speed
     steer_of = _steer_fn(cfg)
     step_of = _plant_fn(cfg)
     dyn = [list(d) for d in dynamics]
     xs_out, ys_out = [], []
     for _ in range(n_plans):
-        tx, ty, tth, tk = plan_cycle(
+        target = plan_cycle(
             global_xyTK, ego, statics, cfg, accel=accel,
             dynamics=[tuple(d) for d in dyn],
         )
-        target = (tx, ty, tth, tk)
-        # --- speed stage on the new path ---
-        s_dot0 = max(
-            (ego[3] * math.cos(ego[2]) - ego[4] * math.sin(ego[2]))
-            * math.cos(tth[0])
-            + (ego[4] * math.cos(ego[2]) + ego[3] * math.sin(ego[2]))
-            * math.sin(tth[0]),
-            0.0,
+        t_d, v_d = _speed_stage(
+            target, ego, accel, [tuple(d) for d in dyn], cfg
         )
-        axw = accel * math.cos(ego[2])
-        ayw = accel * math.sin(ego[2])
-        s_ddot0 = axw * math.cos(tth[0]) + ayw * math.sin(tth[0])
-        path_s = np.concatenate(
-            [[0.0], np.cumsum(np.hypot(np.diff(tx), np.diff(ty)))]
-        )
-        # dynamic obstacles -> Frenet rates vs the NEW path (perceive gates)
-        obs_s, obs_l, obs_sd, obs_ld = [], [], [], []
-        for (dx_, dy_, dvx_, dvy_) in dyn:
-            dd = math.hypot(dx_ - ego[0], dy_ - ego[1])
-            vxw = ego[3] * math.cos(ego[2]) - ego[4] * math.sin(ego[2])
-            vyw = ego[4] * math.cos(ego[2]) + ego[3] * math.sin(ego[2])
-            spd = max(math.hypot(vxw, vyw), 0.5)
-            lon = ((dx_ - ego[0]) * vxw + (dy_ - ego[1]) * vyw) / spd
-            if dd >= cfg.loop.perception_range or lon <= cfg.loop.behind_gate:
-                continue
-            if math.hypot(dvx_, dvy_) <= cfg.loop.dynamic_speed_gate:
-                continue
-            i = int(np.argmin((tx - dx_) ** 2 + (ty - dy_) ** 2))
-            thr = tth[i]
-            nx_, ny_ = -math.sin(thr), math.cos(thr)
-            tx_, ty_ = math.cos(thr), math.sin(thr)
-            # project exactly like ops/frenet.dynamic_obs_frenet: position
-            # projection first, then rates vs the projection point
-            dxp, dyp = dx_ - tx[i], dy_ - ty[i]
-            ds_ = dxp * tx_ + dyp * ty_
-            xr = tx[i] + ds_ * tx_
-            yr = ty[i] + ds_ * ty_
-            thr2 = thr + tk[i] * ds_
-            nx2, ny2 = -math.sin(thr2), math.cos(thr2)
-            tx2, ty2 = math.cos(thr2), math.sin(thr2)
-            l_ = (dx_ - xr) * nx2 + (dy_ - yr) * ny2
-            obs_s.append(path_s[i] + ds_)
-            obs_l.append(l_)
-            obs_ld.append(dvx_ * nx2 + dvy_ * ny2)
-            obs_sd.append((dvx_ * tx2 + dvy_ * ty2) / (1.0 - tk[i] * l_))
-        segs = speed_np.st_graph(
-            obs_s, obs_l, obs_sd, obs_ld, sp.lateral_gate, sp.l_dot_gate,
-            sp.t_min_gate, sp.t_max_gate,
-        )
-        s_grid = np.asarray(sp.s_grid)
-        dp_s, dp_valid, end_col = speed_np.speed_dp(
-            segs, s_dot0, s_grid, sp.n_t, sp.t_step, sp.reference_speed,
-            sp.w_ref_speed, sp.w_accel, sp.accel_penalty,
-        )
-        s_lb, s_ub, sd_lb, sd_ub = convex_space_np(
-            dp_s, dp_valid, end_col, segs, path_s, tk, sp
-        )
-        qs, qv, qa, qt = speed_qp_scipy(
-            s_dot0, s_ddot0, s_lb, s_ub, sd_lb, sd_ub, sp
-        )
-        s_d, v_d, t_d = densify_np(qs, qv, qa, qt, sp)
 
         pid = PID(cfg.control)
         for tick in range(cfg.loop.plan_every):
@@ -736,6 +746,132 @@ def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5):
             for d in dyn:
                 d[0] += d[2] * cfg.plant.dt
                 d[1] += d[3] * cfg.plant.dt
+            xs_out.append(ego[0])
+            ys_out.append(ego[1])
+    return np.asarray(xs_out), np.asarray(ys_out)
+
+
+def simulate_traffic(global_xyTK, ego0, statics, npcs0, cfg,
+                     behavior="normal", n_plans=5, full=False):
+    """Agent-traffic closed loop, float64 — the oracle for
+    closed_loop.simulate_traffic (the reference's actual experiment: a
+    BehaviorAgent NPC on the same route, ``test_9.py:288-291,344``).
+
+    statics: [(x, y)]; npcs0: [(x, y, vx, vy)] dynamic slots. Slots with
+    initial speed > 2.5 m/s run the float64 agent model (oracle/npc_np.py
+    — pure pursuit + IDM + lane changes, reacting to the ego and each
+    other every tick); slower dynamic slots are walkers advancing at
+    constant velocity, exactly as the JAX loop splits them.
+    ``full=True`` adds the S-T speed stage per replan. Returns
+    (traj_x, traj_y) per ego tick.
+    """
+    from emplanner_carla_tpu.oracle import npc_np
+
+    gx, gy = np.asarray(global_xyTK[0]), np.asarray(global_xyTK[1])
+    gth = np.asarray(global_xyTK[2])
+    p = npc_np.preset(behavior)
+    vp = cfg.vehicle
+    dt = cfg.plant.dt
+    dest_x, dest_y = float(gx[-1]), float(gy[-1])
+
+    # per-slot: [x, y, vx, vy, path_index, lane_offset, lane_target, agent]
+    npcs = []
+    for (x, y, vx, vy) in npcs0:
+        idx0 = frenet_np.nearest_index(x, y, gx, gy)
+        npcs.append([float(x), float(y), float(vx), float(vy), int(idx0),
+                     0.0, 0.0, math.hypot(vx, vy) > 2.5])
+
+    def advance_npcs(ego_state):
+        # lane slew first, then every agent decides on the SAME pre-tick
+        # snapshot (the JAX vmap semantics), then all updates apply at once
+        for s in npcs:
+            s[5], s[6] = npc_np.slew_lane(s[5], s[6], dt)
+        snap = [tuple(s[:4]) for s in npcs]
+        ex, ey = ego_state[0], ego_state[1]
+        e_speed = math.hypot(ego_state[3], ego_state[4])
+        updates = []
+        for k, s in enumerate(npcs):
+            if not s[7]:
+                # walker / constant-velocity slot
+                updates.append((s[0] + s[2] * dt, s[1] + s[3] * dt,
+                                s[2], s[3], s[4], s[5], s[6]))
+                continue
+            x, y, vx, vy = snap[k]
+            spd = math.hypot(vx, vy)
+            phi = math.atan2(vy, vx) if spd > 0.1 else 0.0
+            # others: statics + the other NPC slots + the ego (JAX slot
+            # order: obstacle slots first, ego appended last)
+            others = [(sx_, sy_, 0.0, True) for (sx_, sy_) in statics]
+            others += [
+                (ox, oy, math.hypot(ovx, ovy), j != k)
+                for j, (ox, oy, ovx, ovy) in enumerate(snap)
+            ]
+            others.append((ex, ey, e_speed, True))
+            l_now = npc_np.lateral_offset_on_path(x, y, gx, gy, gth, s[4])
+            gap_own, v_own = npc_np.lead_info(
+                x, y, phi, others, lateral_shift=-l_now
+            )
+            gap_tgt, v_tgt = npc_np.lead_info(
+                x, y, phi, others, lateral_shift=s[6] - l_now
+            )
+            left_free = npc_np.corridor_free(
+                x, y, phi, npc_np.LANE_WIDTH - l_now, others
+            )
+            right_free = npc_np.corridor_free(
+                x, y, phi, -npc_np.LANE_WIDTH - l_now, others
+            )
+            own_free = npc_np.corridor_free(x, y, phi, -l_now, others)
+            off, tgt = npc_np.lane_change_decision(
+                s[5], s[6], gap_own, v_own, spd, left_free, right_free,
+                own_free, p,
+            )
+            x2, y2, phi2, v2, idx2 = npc_np.npc_step(
+                x, y, phi, spd, s[4], gx, gy, gth, gap_tgt, v_tgt, p, vp,
+                dt, lane_offset=off,
+            )
+            updates.append((x2, y2, v2 * math.cos(phi2),
+                            v2 * math.sin(phi2), idx2, off, tgt))
+        for s, u in zip(npcs, updates):
+            s[:7] = list(u)
+
+    ego = ego0
+    applied = 0.0
+    accel = 0.0
+    arrived = False
+    steer_of = _steer_fn(cfg)
+    step_of = _plant_fn(cfg)
+    xs_out, ys_out = [], []
+    for _ in range(n_plans):
+        dyn_snap = [(s[0], s[1], s[2], s[3]) for s in npcs]
+        target = plan_cycle(
+            global_xyTK, ego, statics, cfg, accel=accel, dynamics=dyn_snap
+        )
+        if full:
+            t_d, v_d = _speed_stage(target, ego, accel, dyn_snap, cfg)
+        pid = PID(cfg.control)
+        for tick in range(cfg.loop.plan_every):
+            all_xy = statics + [(s[0], s[1]) for s in npcs]
+            v_cap = _acc_cap_mps(ego, all_xy)
+            if full:
+                t_rel = (tick + 1) * dt
+                plan_speed = float(np.interp(t_rel, t_d, v_d))
+                target_kmh = 3.6 * min(plan_speed, v_cap)
+            else:
+                target_kmh = min(cfg.loop.target_speed_kmh, 3.6 * v_cap)
+            steer = steer_of(ego, target)
+            cmd = pid.step(math.hypot(ego[3], ego[4]), target_kmh)
+            throttle = float(np.clip(cmd, 0, 1))
+            brake = float(np.clip(-cmd, 0, 1))
+            arrived = arrived or (
+                math.hypot(ego[0] - dest_x, ego[1] - dest_y)
+                < cfg.loop.arrival_dist
+            )
+            if arrived:
+                steer, throttle, brake = 0.0, 0.0, 1.0
+            accel = (throttle * vp.max_accel
+                     - brake * vp.max_brake_decel)
+            ego, applied = step_of(ego, applied, steer, accel, vp, dt)
+            advance_npcs(ego)
             xs_out.append(ego[0])
             ys_out.append(ego[1])
     return np.asarray(xs_out), np.asarray(ys_out)

@@ -240,6 +240,152 @@ def test_three_crossers_default_cfg_surfaces_dropped_segments():
     assert not bool(summ["collided"])
 
 
+def test_full_em_benchmark_horizon_matches_oracle():
+    """Fidelity at the BENCHMARK horizon (round-2 verdict item 4):
+    n_plans=20 — the exact n_plans the headline cycles/s are produced
+    from (config.py LoopConfig.n_plans) — on the bench scenario
+    distribution (make_scenario defaults). f32-vs-f64 drift compounds per
+    cycle; this pins the 20-cycle bar, not just the 5-cycle one."""
+    cfg = EMConfig()          # n_plans = 20 is the default
+    assert cfg.loop.n_plans == 20
+    sc = scenario.make_scenario(jax.random.PRNGKey(1), cfg)
+    carry, metrics = closed_loop.simulate_full(
+        sc.global_path, sc.ego0, sc.obstacles, cfg
+    )
+    jx = np.asarray(metrics.x).reshape(-1)
+    jy = np.asarray(metrics.y).reshape(-1)
+    g, ego0, statics, dynamics = unpack_scenario(sc)
+    ox, oy = closed_loop_np.simulate_full(
+        g, ego0, statics, dynamics, cfg, n_plans=cfg.loop.n_plans
+    )
+    assert len(ox) == len(jx) == 2000
+    rmse = lateral_rmse(jx, jy, ox, oy)
+    assert rmse <= 0.05, f"20-cycle lateral RMSE vs oracle {rmse:.3f} m"
+    per_tick = np.hypot(jx - ox, jy - oy)
+    assert float(np.max(per_tick)) < 1.0, (
+        f"20-cycle longitudinal divergence {np.max(per_tick):.2f} m"
+    )
+    assert not bool(closed_loop.summarize(metrics)["collided"])
+
+
+def test_full_em_batch_fidelity_distribution():
+    """16-seed batched fidelity sweep (round-2 verdict item 4): one
+    vmapped JAX call over the bench scenario distribution vs a per-seed
+    float64 oracle — the RMSE *distribution* must clear the 5 cm bar and
+    collision/arrival must agree per seed (the fleet metric in
+    MULTICHIP_r02.json measured the batch against itself; this measures
+    it against ground truth)."""
+    from emplanner_carla_tpu.sim.closed_loop import COLLISION_RADIUS
+
+    n_seeds = 16
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=N_PLANS)
+    )
+    scs = scenario.batch_scenarios(jax.random.PRNGKey(1), n_seeds, cfg)
+    metrics = jax.vmap(
+        lambda g, e, o: closed_loop.simulate_full(g, e, o, cfg)[1]
+    )(scs.global_path, scs.ego0, scs.obstacles)
+    jxs = np.asarray(metrics.x).reshape(n_seeds, -1)
+    jys = np.asarray(metrics.y).reshape(n_seeds, -1)
+    j_coll = np.asarray(jnp.any(metrics.collided, axis=(1, 2)))
+    j_arr = np.asarray(jnp.any(metrics.arrived, axis=(1, 2)))
+
+    dt = cfg.plant.dt
+    rmses = []
+    for i in range(n_seeds):
+        row = jax.tree.map(lambda a, _i=i: a[_i], scs)
+        g, ego0, statics, dynamics = unpack_scenario(row)
+        ox, oy = closed_loop_np.simulate_full(
+            g, ego0, statics, dynamics, cfg, n_plans=N_PLANS
+        )
+        rmse = lateral_rmse(jxs[i], jys[i], ox, oy)
+        rmses.append(rmse)
+        assert rmse <= 0.05, f"seed {i}: RMSE vs oracle {rmse:.3f} m"
+        # oracle-side collision/arrival from the recorded trajectory
+        # (statics fixed, dynamics at constant velocity; the JAX loop
+        # checks the post-step ego against the post-advance obstacles)
+        t_obs = (np.arange(len(ox)) + 1.0) * dt
+        o_coll = False
+        for (sx_, sy_) in statics:
+            o_coll |= bool(
+                np.any(np.hypot(ox - sx_, oy - sy_) < COLLISION_RADIUS)
+            )
+        for (dx_, dy_, dvx_, dvy_) in dynamics:
+            o_coll |= bool(np.any(
+                np.hypot(ox - (dx_ + dvx_ * t_obs), oy - (dy_ + dvy_ * t_obs))
+                < COLLISION_RADIUS
+            ))
+        o_arr = bool(np.any(
+            np.hypot(ox - g[0][-1], oy - g[1][-1]) < cfg.loop.arrival_dist
+        ))
+        assert bool(j_coll[i]) == o_coll, f"seed {i}: collision disagrees"
+        assert bool(j_arr[i]) == o_arr, f"seed {i}: arrival disagrees"
+    # distribution: every seed under the bar already asserted; record the
+    # spread is sane (no near-misses hiding behind the mean)
+    assert float(np.mean(rmses)) <= 0.03
+
+
+def _traffic_scenario(cfg):
+    """Straight road + one agent NPC ahead on the same route (the
+    reference's actual experiment: a BehaviorAgent obstacle vehicle,
+    test_9.py:288-291) + one far-away crossing walker (exercises the
+    agent/constant-velocity slot split without touching the ego)."""
+    n = 200
+    s = jnp.arange(n) * 2.0
+    gp = Path(s, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    d0 = cfg.n_static_obs
+    ox = jnp.zeros(K).at[d0].set(30.0).at[d0 + 1].set(150.0)
+    oy = jnp.zeros(K).at[d0 + 1].set(-8.0)
+    ovx = jnp.zeros(K).at[d0].set(4.0)          # agent: speed 4 > 2.5
+    ovy = jnp.zeros(K).at[d0 + 1].set(1.5)      # walker: 1.5 <= 2.5
+    valid = jnp.zeros(K, bool).at[d0].set(True).at[d0 + 1].set(True)
+    obstacles = Obstacles(ox, oy, ovx, ovy, valid)
+    z = jnp.zeros(())
+    ego0 = EgoState(
+        gp.x[0], gp.y[0], gp.theta[0], jnp.asarray(10.0, jnp.float32),
+        z, z, z, z, z,
+    )
+    return scenario.Scenario(gp, ego0, obstacles)
+
+
+@pytest.mark.parametrize("full", [False, True])
+def test_simulate_traffic_matches_oracle(full):
+    """Agent-traffic loop (round-2 verdict item 3): the ego overtakes an
+    accelerating IDM/pure-pursuit NPC on its own route — both the path-only
+    and the full-EM variants must track the float64 oracle, which runs the
+    independent loop-based agent model (oracle/npc_np.py)."""
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=N_PLANS)
+    )
+    sc = _traffic_scenario(cfg)
+    carry, metrics = closed_loop.simulate_traffic(
+        sc.global_path, sc.ego0, sc.obstacles, cfg, behavior="normal",
+        full=full,
+    )
+    jx = np.asarray(metrics.x).reshape(-1)
+    jy = np.asarray(metrics.y).reshape(-1)
+    g, ego0, statics, dynamics = unpack_scenario(sc)
+    assert statics == [] and len(dynamics) == 2
+    ox, oy = closed_loop_np.simulate_traffic(
+        g, ego0, statics, dynamics, cfg, behavior="normal",
+        n_plans=N_PLANS, full=full,
+    )
+    assert len(ox) == len(jx)
+    rmse = lateral_rmse(jx, jy, ox, oy)
+    assert rmse <= 0.05, f"traffic(full={full}) RMSE vs oracle {rmse:.3f} m"
+    per_tick = np.hypot(jx - ox, jy - oy)
+    assert float(np.max(per_tick)) < 1.0, (
+        f"longitudinal divergence {np.max(per_tick):.2f} m"
+    )
+    assert not bool(closed_loop.summarize(metrics)["collided"])
+    # the NPC must have actually driven (agent model active in both
+    # systems): slot d0 advanced well beyond constant-velocity coasting
+    d0 = cfg.n_static_obs
+    npc_x = float(carry.loop.obstacles.x[d0])
+    assert npc_x > 30.0 + 4.0 * N_PLANS * 100 * cfg.plant.dt + 2.0
+
+
 def test_full_em_matches_oracle_crossing_npc():
     """Full EM with a crossing NPC: the ST graph is non-empty, so the speed
     DP / convex-space / speed-QP chain actively shapes the profile in both
