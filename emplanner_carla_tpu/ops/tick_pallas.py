@@ -40,6 +40,30 @@ from emplanner_carla_tpu.sim.loop_constants import (  # noqa: E402
 )
 
 
+def _atan2(y: Array, x: Array) -> Array:
+    """Quadrant-correct atan2 for Mosaic (no TC lowering for ``atan2``).
+
+    Octant reduction + the cephes ``atanf`` degree-9 odd polynomial with
+    its tan(pi/8) split — |error| < ~2e-7 rad over all inputs, i.e. at the
+    f32 representation floor; the interpret-mode equivalence tests compare
+    the in-kernel NPC agents (pure-pursuit headings flow through this)
+    against ``jnp.arctan2`` in the XLA scan at 1e-3-grade tolerances."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    r = jnp.minimum(ax, ay) / jnp.maximum(mx, 1e-30)   # in [0, 1]
+    mid = r > 0.41421356
+    x1 = jnp.where(mid, (r - 1.0) / (r + 1.0), r)
+    z = x1 * x1
+    a = (
+        ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1)
+        * z - 3.33329491539e-1
+    ) * z * x1 + x1
+    a = a + jnp.where(mid, jnp.pi / 4, 0.0)
+    a = jnp.where(ay > ax, jnp.pi / 2 - a, a)
+    a = jnp.where(x < 0, jnp.pi - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
 def run_ticks_batched(
     ego,            # EgoState, fields (B,)
     pid_buffer: Array,   # (B, n_buf)
@@ -54,15 +78,26 @@ def run_ticks_batched(
     dest_x: Array,       # (B,)
     dest_y: Array,       # (B,)
     cfg: EMConfig,
+    traffic=None,
 ):
     """Run ``cfg.loop.plan_every`` ticks for the whole batch in one kernel.
 
     Returns (ego', pid_buffer', pid_count', pid_last', obs', arrived',
     metrics) with metrics = dict of (B, n_ticks) arrays matching
     ``TickMetrics`` channel semantics.
+
+    ``traffic``: optional (global_path (B, n_gp), npc_idx (B, K) int32,
+    lane_off (B, K), lane_tgt (B, K), agent_slot (B, K) bool, behavior str)
+    — the agent-traffic mode (``closed_loop._traffic_ticks_base``'s
+    semantics): instead of constant-velocity advance, agent slots run the
+    sim/npc.py model (pure pursuit toward a lookahead on the global path +
+    IDM against the nearest lead + overtake-pressure lane changes) against
+    the ego and each other, entirely in-register across the cycle. Extra
+    returns: (..., obs', npc_idx', lane_off', lane_tgt', arrived', metrics).
     """
     from emplanner_carla_tpu.control import lateral
     from emplanner_carla_tpu.control import pid as pid_mod
+    from emplanner_carla_tpu.sim import npc as npc_mod
     from emplanner_carla_tpu.sim import plant as plant_mod
     from emplanner_carla_tpu.types import EgoState, Obstacles
 
@@ -116,20 +151,49 @@ def run_ticks_batched(
     max_steer = vp.max_steer_rad
     arrival_d2 = float(cfg.loop.arrival_dist) ** 2
 
+    if traffic is not None:
+        (gp, npc_idx0, lane_off0, lane_tgt0, agent_slot, behavior) = traffic
+        n_gp = gp.x.shape[1]
+        n_cv_slots = cfg.n_static_obs  # slots below are never agents
+        import math as _math
+
+        (P_MAXSPD, P_SAFET, P_MIND, P_ACC, P_DEC) = npc_mod.preset_floats(
+            behavior
+        )
+        P_SQRT_AB = _math.sqrt(P_ACC * P_DEC)
+        P_MAXSPD_C = max(P_MAXSPD, 0.1)
+        LANE_W = float(npc_mod.LANE_WIDTH)
+        LANE_RATE = float(npc_mod.LANE_CHANGE_RATE)
+
     n_consts = len(consts_np)
+
+    n_in_fixed = 8 + (2 if traffic is not None else 0)
 
     def kernel(*refs):
         (ego_ref, pbuf_ref, pmisc_ref, obsr_ref, spd_ref, tgt_ref,
          flag_ref, dest_ref) = refs[:8]
-        const_refs = refs[8 : 8 + n_consts]
-        (ego_out, pbuf_out, pmisc_out, obs_out, arr_out,
-         mx_out, my_out, mv_out, ml_out, mh_out, mc_out, ma_out,
-         mf_out) = refs[8 + n_consts :]
+        if traffic is not None:
+            gp_ref, npcr_ref = refs[8:10]
+        const_refs = refs[n_in_fixed : n_in_fixed + n_consts]
+        outs = refs[n_in_fixed + n_consts :]
+        if traffic is not None:
+            (ego_out, pbuf_out, pmisc_out, obs_out, npc_out, arr_out,
+             mx_out, my_out, mv_out, ml_out, mh_out, mc_out, ma_out,
+             mf_out) = outs
+        else:
+            (ego_out, pbuf_out, pmisc_out, obs_out, arr_out,
+             mx_out, my_out, mv_out, ml_out, mh_out, mc_out, ma_out,
+             mf_out) = outs
         iota_path = jax.lax.broadcasted_iota(jnp.int32, (n_path, blk), 0)
         iota_tab = jax.lax.broadcasted_iota(jnp.int32, (n_tab, blk), 0)
         iota_nd = jax.lax.broadcasted_iota(
             jnp.int32, (n_dense, 1), 0
         ).astype(jnp.float32)
+        if traffic is not None:
+            iota_gp = jax.lax.broadcasted_iota(jnp.int32, (n_gp, blk), 0)
+            iota_K = jax.lax.broadcasted_iota(jnp.int32, (K, blk), 0)
+            gp_x, gp_y, gp_th = gp_ref[0], gp_ref[1], gp_ref[2]  # (n_gp, blk)
+            agentK = npcr_ref[3]                                 # (K, blk)
 
         tgt_x, tgt_y = tgt_ref[0], tgt_ref[1]          # (n_path, blk)
         tgt_th, tgt_k = tgt_ref[2], tgt_ref[3]
@@ -160,8 +224,15 @@ def run_ticks_batched(
         def body(i, st):
             (x, y, phi, vx, vy, omega, _ax, _ay, steer_ap,
              buf, cnt, last, ox, oy, ovx, ovy, ovalid, arr) = st[:18]
+            pos = 18
             # MPC only: per-tick-carried box-ADMM warm state (nu, blk)
-            mpc_z, mpc_ud = st[18:] if kind == "MPC" else (None, None)
+            mpc_z, mpc_ud = (None, None)
+            if kind == "MPC":
+                mpc_z, mpc_ud = st[pos : pos + 2]
+                pos += 2
+            if traffic is not None:
+                # per-slot NPC agent state: match index, lane offset/target
+                idxK, offK, tgtK = st[pos : pos + 3]
             # all per-scenario values (1, BLK); obstacle arrays (K, BLK)
 
             # --- planned speed at t_rel (uniform hat, scalar time) ---
@@ -312,9 +383,186 @@ def run_ticks_batched(
             (x_n, y_n, phi_n, v_n, vy_n, omega_n, ax_n, ay_n,
              steer_ap) = ego_n
 
-            # --- obstacles advance + collision ---
-            ox = ox + ovx * dt
-            oy = oy + ovy * dt
+            # --- obstacles advance (+ NPC agents in traffic mode) ---
+            if traffic is None:
+                ox = ox + ovx * dt
+                oy = oy + ovy * dt
+            else:
+                # sim/npc.py term for term (semantic base:
+                # closed_loop._traffic_ticks_base / _advance_npcs), every
+                # slot unrolled over (1, blk) rows, the global path shared
+                # as (n_gp, blk) channels.
+                offK = offK + jnp.clip(
+                    tgtK - offK, -LANE_RATE * dt, LANE_RATE * dt
+                )
+                spd_all = jnp.sqrt(ovx * ovx + ovy * ovy)   # (K, blk)
+                e_spd = jnp.sqrt(v_n * v_n + vy_n * vy_n)   # (1, blk)
+                rows = []
+                for kk in range(K):
+                    # static slots can never be agents (simulate_traffic:
+                    # agent_slot = slot >= n_static_obs & fast) — skip the
+                    # agent math and advance them at constant velocity
+                    if kk < n_cv_slots:
+                        rows.append((
+                            ox[kk : kk + 1] + ovx[kk : kk + 1] * dt,
+                            oy[kk : kk + 1] + ovy[kk : kk + 1] * dt,
+                            ovx[kk : kk + 1], ovy[kk : kk + 1],
+                            idxK[kk : kk + 1], tgtK[kk : kk + 1],
+                        ))
+                        continue
+                    idx_k = idxK[kk : kk + 1]               # (1, blk) i32
+                    off_k = offK[kk : kk + 1]
+                    tgt_k = tgtK[kk : kk + 1]
+                    xk, yk = ox[kk : kk + 1], oy[kk : kk + 1]
+                    vxk, vyk = ovx[kk : kk + 1], ovy[kk : kk + 1]
+                    spd_k = spd_all[kk : kk + 1]
+                    phi_k = jnp.where(spd_k > 0.1, _atan2(vyk, vxk), 0.0)
+                    ck, sk = jnp.cos(phi_k), jnp.sin(phi_k)
+
+                    # lateral offset from the path at the carried index
+                    oh_i = (iota_gp == idx_k).astype(jnp.float32)
+                    th_i = jnp.sum(gp_th * oh_i, axis=0, keepdims=True)
+                    px_i = jnp.sum(gp_x * oh_i, axis=0, keepdims=True)
+                    py_i = jnp.sum(gp_y * oh_i, axis=0, keepdims=True)
+                    l_now = -(xk - px_i) * jnp.sin(th_i) + (
+                        yk - py_i
+                    ) * jnp.cos(th_i)
+
+                    # frame of this NPC: others' longitudinal/lateral
+                    # offsets (a lateral corridor shift only moves d_lat)
+                    dxk, dyk = ox - xk, oy - yk             # (K, blk)
+                    dl_o = dxk * ck + dyk * sk
+                    dt_o = -dxk * sk + dyk * ck
+                    val_o = (ovalid > 0.5) & (iota_K != kk)
+                    dxe, dye = x_n - xk, y_n - yk           # (1, blk)
+                    dl_e = dxe * ck + dye * sk
+                    dt_e = -dxe * sk + dye * ck
+
+                    def lead(shift, _dl_o=dl_o, _dt_o=dt_o, _val=val_o,
+                             _dl_e=dl_e, _dt_e=dt_e, _sa=spd_all,
+                             _es=e_spd):
+                        ahead_o = _val & (_dl_o > 0.5) & (
+                            jnp.abs(_dt_o - shift) < 2.0
+                        )
+                        ahead_e = (_dl_e > 0.5) & (
+                            jnp.abs(_dt_e - shift) < 2.0
+                        )
+                        gap_o = jnp.min(
+                            jnp.where(ahead_o, _dl_o, jnp.inf),
+                            axis=0, keepdims=True,
+                        )
+                        gap = jnp.minimum(
+                            gap_o, jnp.where(ahead_e, _dl_e, jnp.inf)
+                        )
+                        # first-min row (obstacle slots win exact ties
+                        # against the ego, matching npc.lead_info's argmin
+                        # over [obs slots..., ego])
+                        hit_o = ahead_o & (_dl_o <= gap)
+                        first = jnp.min(
+                            jnp.where(hit_o, iota_K, K),
+                            axis=0, keepdims=True,
+                        )
+                        oh_r = (iota_K == first).astype(jnp.float32)
+                        v_o = jnp.sum(_sa * oh_r, axis=0, keepdims=True)
+                        v_lead = jnp.where(first >= K, _es, v_o)
+                        none = gap > 1e30  # == +inf: nothing ahead
+                        return (
+                            jnp.where(none, 1e4, gap),
+                            jnp.where(none, 100.0, v_lead),
+                        )
+
+                    def corridor_free(shift, _dl_o=dl_o, _dt_o=dt_o,
+                                      _val=val_o, _dl_e=dl_e, _dt_e=dt_e):
+                        occ_o = _val & (_dl_o > -8.0) & (_dl_o < 20.0) & (
+                            jnp.abs(_dt_o - shift) < 1.8
+                        )
+                        occ_e = (_dl_e > -8.0) & (_dl_e < 20.0) & (
+                            jnp.abs(_dt_e - shift) < 1.8
+                        )
+                        any_o = jnp.max(
+                            occ_o.astype(jnp.float32), axis=0, keepdims=True
+                        ) > 0.5
+                        return ~(any_o | occ_e)
+
+                    gap_own, v_own = lead(-l_now)
+                    gap_tgt, v_tgt = lead(tgt_k - l_now)
+                    left_free = corridor_free(LANE_W - l_now)
+                    right_free = corridor_free(-LANE_W - l_now)
+                    own_free = corridor_free(-l_now)
+
+                    # lane_change_decision
+                    press = P_MIND + spd_k * P_SAFET
+                    blocked = (gap_own < 1.5 * press) & (
+                        v_own < 0.8 * P_MAXSPD
+                    )
+                    in_lane = jnp.abs(tgt_k) < 0.1
+                    go_left = blocked & in_lane & left_free
+                    go_right = blocked & in_lane & ~left_free & right_free
+                    tgt_new = jnp.where(
+                        go_left, LANE_W,
+                        jnp.where(go_right, -LANE_W, tgt_k),
+                    )
+                    tgt_new = jnp.where(~in_lane & own_free, 0.0, tgt_new)
+
+                    # npc_step: forward-windowed first-min match
+                    lo = jnp.clip(idx_k, 0, max(n_gp - 32, 0))
+                    in_win = (iota_gp >= lo) & (iota_gp < lo + 32)
+                    d2g = (gp_x - xk) ** 2 + (gp_y - yk) ** 2
+                    d2m = jnp.where(in_win, d2g, jnp.inf)
+                    mng = jnp.min(d2m, axis=0, keepdims=True)
+                    idx2 = jnp.min(
+                        jnp.where(d2m <= mng, iota_gp, n_gp),
+                        axis=0, keepdims=True,
+                    )
+                    look = jnp.clip(
+                        idx2 + 2 + (spd_k * 0.25).astype(jnp.int32),
+                        0, n_gp - 1,
+                    )
+                    oh_l = (iota_gp == look).astype(jnp.float32)
+                    th_l = jnp.sum(gp_th * oh_l, axis=0, keepdims=True)
+                    lx = jnp.sum(gp_x * oh_l, axis=0, keepdims=True)
+                    ly = jnp.sum(gp_y * oh_l, axis=0, keepdims=True)
+                    dxp = lx - off_k * jnp.sin(th_l) - xk
+                    dyp = ly + off_k * jnp.cos(th_l) - yk
+                    alpha = _atan2(dyp, dxp) - phi_k
+                    alpha = _atan2(jnp.sin(alpha), jnp.cos(alpha))
+                    ld = jnp.maximum(jnp.sqrt(dxp * dxp + dyp * dyp), 1.0)
+                    delta = _atan2(2.0 * L_wb * jnp.sin(alpha), ld)
+                    steer_n = jnp.clip(delta / max_steer, -1.0, 1.0)
+                    s_star = P_MIND + jnp.maximum(
+                        spd_k * P_SAFET
+                        + spd_k * (spd_k - v_tgt) / (2.0 * P_SQRT_AB),
+                        0.0,
+                    )
+                    gap_c = jnp.maximum(gap_tgt, 0.5)
+                    accn = P_ACC * (
+                        1.0 - (spd_k / P_MAXSPD_C) ** 4
+                        - (s_star / gap_c) ** 2
+                    )
+                    accn = jnp.clip(accn, -P_DEC, P_ACC)
+                    v2 = jnp.maximum(spd_k + accn * dt, 0.0)
+                    om2 = v2 * jnp.tan(steer_n * max_steer) / L_wb
+                    phi2 = phi_k + om2 * dt
+                    x2 = xk + v2 * jnp.cos(phi2) * dt
+                    y2 = yk + v2 * jnp.sin(phi2) * dt
+
+                    is_ag = (ovalid[kk : kk + 1] > 0.5) & (
+                        agentK[kk : kk + 1] > 0.5
+                    )
+                    rows.append((
+                        jnp.where(is_ag, x2, xk + vxk * dt),
+                        jnp.where(is_ag, y2, yk + vyk * dt),
+                        jnp.where(is_ag, v2 * jnp.cos(phi2), vxk),
+                        jnp.where(is_ag, v2 * jnp.sin(phi2), vyk),
+                        jnp.where(is_ag, idx2, idx_k),
+                        jnp.where(is_ag, tgt_new, tgt_k),
+                    ))
+                ox = jnp.concatenate([r[0] for r in rows], axis=0)
+                oy = jnp.concatenate([r[1] for r in rows], axis=0)
+                ovx = jnp.concatenate([r[2] for r in rows], axis=0)
+                ovy = jnp.concatenate([r[3] for r in rows], axis=0)
+                idxK = jnp.concatenate([r[4] for r in rows], axis=0)
+                tgtK = jnp.concatenate([r[5] for r in rows], axis=0)
             dob_x = ox - x_n
             dob_y = oy - y_n
             hit = (ovalid > 0.5) & (
@@ -347,6 +595,8 @@ def run_ticks_batched(
                          arr)
             if kind == "MPC":
                 out_state = out_state + (mpc_z, mpc_ud)
+            if traffic is not None:
+                out_state = out_state + (idxK, offK, tgtK)
             return out_state
 
         init = tuple(ego_ref[i : i + 1] for i in range(9)) + (
@@ -357,6 +607,10 @@ def run_ticks_batched(
         if kind == "MPC":
             z0 = jnp.zeros((nu, blk), jnp.float32)
             init = init + (z0, z0)
+        if traffic is not None:
+            init = init + (
+                npcr_ref[0].astype(jnp.int32), npcr_ref[1], npcr_ref[2]
+            )
         out = jax.lax.fori_loop(0, n_ticks, body, init)
         (x, y, phi, vx, vy, omega, ax_, ay_, st_ap,
          buf, cnt, last, ox, oy, ovx, ovy, ovalid, arr) = out[:18]
@@ -367,6 +621,11 @@ def run_ticks_batched(
         pmisc_out[:] = jnp.concatenate([cnt, last])
         obs_out[:] = jnp.stack([ox, oy, ovx, ovy, ovalid])
         arr_out[:] = arr
+        if traffic is not None:
+            idxK_f, offK_f, tgtK_f = out[-3], out[-2], out[-1]
+            npc_out[:] = jnp.stack(
+                [idxK_f.astype(jnp.float32), offK_f, tgtK_f]
+            )
 
     ego_in = jnp.stack(
         [ego.x, ego.y, ego.phi, ego.vx, ego.vy, ego.omega, ego.ax, ego.ay,
@@ -398,44 +657,62 @@ def run_ticks_batched(
     out_tick = pl.BlockSpec(
         (n_ticks, blk), lambda b: (0, b), memory_space=pltpu.VMEM
     )
+    in_arrays = [
+        ego_in, pid_buffer.T.astype(jnp.float32), pmisc_in, obs_in,
+        traj_speed.T.astype(jnp.float32), tgt_in, flag_in, dest_in,
+    ]
+    in_specs = [
+        bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K)),
+        bspec((n_dense,)), bspec((4, n_path)), bspec((3,)), bspec((2,)),
+    ]
+    out_specs = [bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K))]
+    out_shapes = [
+        jax.ShapeDtypeStruct((9, B), jnp.float32),
+        jax.ShapeDtypeStruct((n_buf, B), jnp.float32),
+        jax.ShapeDtypeStruct((2, B), jnp.float32),
+        jax.ShapeDtypeStruct((5, K, B), jnp.float32),
+    ]
+    if traffic is not None:
+        gp_in = jnp.stack(
+            [gp.x, gp.y, gp.theta], axis=0
+        ).transpose(0, 2, 1).astype(jnp.float32)           # (3, n_gp, B)
+        npc_in = jnp.stack(
+            [npc_idx0.astype(jnp.float32), lane_off0, lane_tgt0,
+             agent_slot.astype(jnp.float32)], axis=0
+        ).transpose(0, 2, 1).astype(jnp.float32)           # (4, K, B)
+        in_arrays += [gp_in, npc_in]
+        in_specs += [bspec((3, n_gp)), bspec((4, K))]
+        out_specs.append(bspec((3, K)))
+        out_shapes.append(jax.ShapeDtypeStruct((3, K, B), jnp.float32))
+    out_specs.append(bspec((1,)))
+    out_shapes.append(jax.ShapeDtypeStruct((1, B), jnp.float32))
+    out_specs += [out_tick] * 8
+    out_shapes += [
+        jax.ShapeDtypeStruct((n_ticks, B), jnp.float32) for _ in range(8)
+    ]
+
     interp = bool(getattr(run_ticks_batched, "_interpret", False))
     outs = pl.pallas_call(
         kernel,
         grid=(B // blk,),
-        in_specs=[
-            bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K)),
-            bspec((n_dense,)), bspec((4, n_path)), bspec((3,)), bspec((2,)),
-        ] + [
+        in_specs=in_specs + [
             pl.BlockSpec(
                 c.shape, (lambda b, _n=c.ndim: (0,) * _n),
                 memory_space=pltpu.VMEM,
             )
             for c in consts_np
         ],
-        out_specs=(
-            bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K)),
-            bspec((1,)),
-            out_tick, out_tick, out_tick, out_tick, out_tick, out_tick,
-            out_tick, out_tick,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((9, B), jnp.float32),
-            jax.ShapeDtypeStruct((n_buf, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, B), jnp.float32),
-            jax.ShapeDtypeStruct((5, K, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.float32),
-        ) + tuple(
-            jax.ShapeDtypeStruct((n_ticks, B), jnp.float32) for _ in range(8)
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=interp,
-    )(
-        ego_in, pid_buffer.T.astype(jnp.float32), pmisc_in, obs_in,
-        traj_speed.T.astype(jnp.float32), tgt_in, flag_in, dest_in,
-        *[jnp.asarray(np_c) for np_c in consts_np],
-    )
+    )(*in_arrays, *[jnp.asarray(np_c) for np_c in consts_np])
 
-    (ego_o, pbuf_o, pmisc_o, obs_o, arr_o,
-     mx, my, mv, ml, mh, mc, ma, mf) = outs
+    if traffic is not None:
+        (ego_o, pbuf_o, pmisc_o, obs_o, npc_o, arr_o,
+         mx, my, mv, ml, mh, mc, ma, mf) = outs
+    else:
+        (ego_o, pbuf_o, pmisc_o, obs_o, arr_o,
+         mx, my, mv, ml, mh, mc, ma, mf) = outs
 
     ego_new = EgoState(*[ego_o[i] for i in range(9)])
     obs_new = Obstacles(
@@ -445,6 +722,12 @@ def run_ticks_batched(
         x=mx.T, y=my.T, speed_kmh=mv.T, lateral_err=ml.T, heading=mh.T,
         collided=mc.T > 0.5, arrived=ma.T > 0.5, feasible=mf.T > 0.5,
     )
+    if traffic is not None:
+        return (
+            ego_new, pbuf_o.T, pmisc_o[0].astype(jnp.int32), pmisc_o[1],
+            obs_new, npc_o[0].T.astype(jnp.int32), npc_o[1].T, npc_o[2].T,
+            arr_o[0] > 0.5, metrics,
+        )
     return (
         ego_new, pbuf_o.T, pmisc_o[0].astype(jnp.int32), pmisc_o[1],
         obs_new, arr_o[0] > 0.5, metrics,

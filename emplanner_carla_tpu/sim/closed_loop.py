@@ -256,6 +256,105 @@ class TrafficCarry(NamedTuple):
     npc_lane: "object"      # npc.LaneState over (K,) slots
 
 
+def _advance_npcs(
+    ego: EgoState,
+    obs: Obstacles,
+    npc_idx: Array,
+    lane,
+    dt: float,
+    global_path: Path,
+    agent_slot: Array,
+    preset,
+    vp,
+    lights=None,
+    t_abs=None,
+):
+    """One NPC tick for every obstacle slot (the per-tick world model of
+    ``simulate_traffic``). Agent slots run the sim/npc.py agent (pure
+    pursuit + IDM + lane changes) against the ego and each other; walker
+    and static slots advance at constant velocity. Returns
+    (obstacles', npc_idx', lane')."""
+    from emplanner_carla_tpu.sim import npc as npc_mod
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+
+    K = obs.x.shape[-1]
+    is_agent = obs.valid & agent_slot
+    lane = npc_mod.slew_lane(lane, dt)
+
+    def one(k):
+        st = NPCStateAt(obs, npc_idx, k)
+        others_x = jnp.concatenate([obs.x, ego.x[None]])
+        others_y = jnp.concatenate([obs.y, ego.y[None]])
+        others_v = jnp.concatenate(
+            [jnp.hypot(obs.vx, obs.vy), ego.speed[None]]
+        )
+        others_valid = jnp.concatenate(
+            [obs.valid, jnp.ones(1, bool)]
+        ) & (jnp.arange(K + 1) != k)  # not itself (mask, not scatter)
+        slot_lane = npc_mod.LaneState(
+            frenet._gather(lane.offset, k),
+            frenet._gather(lane.target, k),
+        )
+        l_now = npc_mod.lateral_offset_on_path(
+            st.ego, global_path, st.path_index
+        )
+        # own-lane lead (pressure) vs intended-lane lead (IDM target)
+        gap_own, v_lead_own = npc_mod.lead_info(
+            st.ego, others_x, others_y, others_v, others_valid,
+            lateral_shift=-l_now,
+        )
+        gap_tgt, v_lead_tgt = npc_mod.lead_info(
+            st.ego, others_x, others_y, others_v, others_valid,
+            lateral_shift=slot_lane.target - l_now,
+        )
+        if lights is not None:
+            # a red stop line is a stationary lead for the IDM
+            d_light = tl_mod.stop_distance(st.ego, lights, t_abs)
+            v_lead_tgt = jnp.where(d_light < gap_tgt, 0.0, v_lead_tgt)
+            gap_tgt = jnp.minimum(gap_tgt, d_light)
+        left_free = npc_mod.corridor_free(
+            st.ego, npc_mod.LANE_WIDTH - l_now,
+            others_x, others_y, others_valid,
+        )
+        right_free = npc_mod.corridor_free(
+            st.ego, -npc_mod.LANE_WIDTH - l_now,
+            others_x, others_y, others_valid,
+        )
+        own_free = npc_mod.corridor_free(
+            st.ego, -l_now, others_x, others_y, others_valid
+        )
+        slot_lane = npc_mod.lane_change_decision(
+            slot_lane, gap_own, v_lead_own, st.ego.vx, left_free,
+            right_free, own_free, preset,
+        )
+        st2 = npc_mod.npc_step(
+            st, global_path, gap_tgt, v_lead_tgt, preset, vp,
+            dt, lane_offset=slot_lane.offset,
+        )
+        return st2, slot_lane
+
+    states, lanes = jax.vmap(one)(jnp.arange(K))
+    agent = is_agent
+    new_x = jnp.where(agent, states.ego.x, obs.x + obs.vx * dt)
+    new_y = jnp.where(agent, states.ego.y, obs.y + obs.vy * dt)
+    new_vx = jnp.where(
+        agent, states.ego.vx * jnp.cos(states.ego.phi), obs.vx
+    )
+    new_vy = jnp.where(
+        agent, states.ego.vx * jnp.sin(states.ego.phi), obs.vy
+    )
+    idx_new = jnp.where(agent, states.path_index, npc_idx)
+    lane_new = npc_mod.LaneState(
+        jnp.where(agent, lanes.offset, lane.offset),
+        jnp.where(agent, lanes.target, lane.target),
+    )
+    return (
+        obs._replace(x=new_x, y=new_y, vx=new_vx, vy=new_vy),
+        idx_new,
+        lane_new,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "behavior", "full"))
 def simulate_traffic(
     global_path: Path,
@@ -302,78 +401,9 @@ def simulate_traffic(
     agent_slot = dyn_slot & (speed0 > 2.5)
 
     def advance_npcs(ego, obs, npc_idx, lane, dt, t_abs):
-        is_agent = obs.valid & agent_slot
-        lane = npc_mod.slew_lane(lane, dt)
-
-        def one(k):
-            st = NPCStateAt(obs, npc_idx, k)
-            others_x = jnp.concatenate([obs.x, ego.x[None]])
-            others_y = jnp.concatenate([obs.y, ego.y[None]])
-            others_v = jnp.concatenate(
-                [jnp.hypot(obs.vx, obs.vy), ego.speed[None]]
-            )
-            others_valid = (
-                jnp.concatenate([obs.valid, jnp.ones(1, bool)])
-                .at[k].set(False)  # not itself
-            )
-            slot_lane = npc_mod.LaneState(lane.offset[k], lane.target[k])
-            l_now = npc_mod.lateral_offset_on_path(
-                st.ego, global_path, st.path_index
-            )
-            # own-lane lead (pressure) vs intended-lane lead (IDM target)
-            gap_own, v_lead_own = npc_mod.lead_info(
-                st.ego, others_x, others_y, others_v, others_valid,
-                lateral_shift=-l_now,
-            )
-            gap_tgt, v_lead_tgt = npc_mod.lead_info(
-                st.ego, others_x, others_y, others_v, others_valid,
-                lateral_shift=slot_lane.target - l_now,
-            )
-            if lights is not None:
-                # a red stop line is a stationary lead for the IDM
-                d_light = tl_mod.stop_distance(st.ego, lights, t_abs)
-                v_lead_tgt = jnp.where(d_light < gap_tgt, 0.0, v_lead_tgt)
-                gap_tgt = jnp.minimum(gap_tgt, d_light)
-            left_free = npc_mod.corridor_free(
-                st.ego, npc_mod.LANE_WIDTH - l_now,
-                others_x, others_y, others_valid,
-            )
-            right_free = npc_mod.corridor_free(
-                st.ego, -npc_mod.LANE_WIDTH - l_now,
-                others_x, others_y, others_valid,
-            )
-            own_free = npc_mod.corridor_free(
-                st.ego, -l_now, others_x, others_y, others_valid
-            )
-            slot_lane = npc_mod.lane_change_decision(
-                slot_lane, gap_own, v_lead_own, st.ego.vx, left_free,
-                right_free, own_free, preset,
-            )
-            st2 = npc_mod.npc_step(
-                st, global_path, gap_tgt, v_lead_tgt, preset, cfg.vehicle,
-                dt, lane_offset=slot_lane.offset,
-            )
-            return st2, slot_lane
-
-        states, lanes = jax.vmap(one)(jnp.arange(K))
-        agent = is_agent
-        new_x = jnp.where(agent, states.ego.x, obs.x + obs.vx * dt)
-        new_y = jnp.where(agent, states.ego.y, obs.y + obs.vy * dt)
-        new_vx = jnp.where(
-            agent, states.ego.vx * jnp.cos(states.ego.phi), obs.vx
-        )
-        new_vy = jnp.where(
-            agent, states.ego.vx * jnp.sin(states.ego.phi), obs.vy
-        )
-        idx_new = jnp.where(agent, states.path_index, npc_idx)
-        lane_new = npc_mod.LaneState(
-            jnp.where(agent, lanes.offset, lane.offset),
-            jnp.where(agent, lanes.target, lane.target),
-        )
-        return (
-            obs._replace(x=new_x, y=new_y, vx=new_vx, vy=new_vy),
-            idx_new,
-            lane_new,
+        return _advance_npcs(
+            ego, obs, npc_idx, lane, dt, global_path, agent_slot, preset,
+            cfg.vehicle, lights=lights, t_abs=t_abs,
         )
 
     def control_tick(carry, tick_idx):
@@ -454,15 +484,43 @@ def simulate_traffic(
         target = _sanitize(res.target)
         t0 = cycle_idx.astype(jnp.float32) * lp.plan_every * tick_dt
         cs = lc.ctrl.rebind()
-        (ego, cs, obs, npc_idx, lane, _, _, arrived, _, _, _), metrics = (
-            jax.lax.scan(
-                control_tick,
-                (lc.ego, cs, lc.obstacles, carry.npc_path_index,
-                 carry.npc_lane, traj, target, lc.arrived, res.feasible,
-                 plan_ok, t0),
-                jnp.arange(lp.plan_every),
+        if _tick_kernel_eligible(cfg, lights):
+            # whole traffic tick loop (ego control/plant + NPC agents) in
+            # one Pallas kernel under vmap — see _traffic_tick_dispatch
+            from emplanner_carla_tpu.control import pid as pid_mod
+
+            if full:
+                tspeed, ttime = traj.speed, traj.time
+            else:
+                # constant target speed as a constant profile (the same
+                # algebraic identity simulate() uses for its dispatch)
+                nd = cfg.speed.n_dense
+                ttime = jnp.arange(nd, dtype=jnp.float32) * (
+                    cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
+                )
+                tspeed = jnp.full((nd,), target_speed / 3.6)
+            (ego, buf_n, cnt_n, last_n, obs, npc_idx, lane_off, lane_tgt,
+             arrived, metrics) = _traffic_tick_dispatch(cfg, behavior)(
+                lc.ego, cs.pid.buffer, cs.pid.count, cs.pid.last_error,
+                lc.obstacles, carry.npc_path_index,
+                carry.npc_lane.offset, carry.npc_lane.target, agent_slot,
+                tspeed, ttime, target, lc.arrived, res.feasible, plan_ok,
+                dest_x, dest_y, global_path,
             )
-        )
+            cs = vehicle.ControllerState(
+                pid_mod.PIDState(buf_n, cnt_n, last_n), cs.mpc
+            )
+            lane = npc_mod.LaneState(lane_off, lane_tgt)
+        else:
+            (ego, cs, obs, npc_idx, lane, _, _, arrived, _, _, _), metrics = (
+                jax.lax.scan(
+                    control_tick,
+                    (lc.ego, cs, lc.obstacles, carry.npc_path_index,
+                     carry.npc_lane, traj, target, lc.arrived, res.feasible,
+                     plan_ok, t0),
+                    jnp.arange(lp.plan_every),
+                )
+            )
         if full:
             metrics = metrics._replace(
                 segments_dropped=jnp.broadcast_to(
@@ -500,15 +558,25 @@ def simulate_traffic(
 
 
 def NPCStateAt(obs: Obstacles, npc_idx: Array, k: Array):
-    """Materialize slot k of the obstacle set as an NPCState."""
+    """Materialize slot k of the obstacle set as an NPCState.
+
+    Slot lookups use one-hot contractions (``frenet._gather``): ``obs.x[k]``
+    with a vmapped ``k`` lowers to a per-lane gather under the fleet batch
+    (bench config 7's tick-cost driver)."""
     from emplanner_carla_tpu.sim import npc as npc_mod
 
-    speed = jnp.hypot(obs.vx[k], obs.vy[k])
-    phi = jnp.arctan2(obs.vy[k], obs.vx[k])
+    ovx = frenet._gather(obs.vx, k)
+    ovy = frenet._gather(obs.vy, k)
+    speed = jnp.hypot(ovx, ovy)
+    phi = jnp.arctan2(ovy, ovx)
     phi = jnp.where(speed > 0.1, phi, 0.0)
     z = jnp.zeros(())
-    ego = EgoState(obs.x[k], obs.y[k], phi, speed, z, z, z, z, z)
-    return npc_mod.NPCState(ego, npc_idx[k], obs.valid[k])
+    ego = EgoState(
+        frenet._gather(obs.x, k), frenet._gather(obs.y, k), phi, speed,
+        z, z, z, z, z,
+    )
+    valid = frenet._gather(obs.valid.astype(jnp.float32), k) > 0.5
+    return npc_mod.NPCState(ego, frenet._gather(npc_idx, k), valid)
 
 
 def _full_ticks_base(
@@ -655,6 +723,144 @@ def _tick_kernel_eligible(cfg: EMConfig, lights) -> bool:
         and cfg.plant.kind in ("kinematic", "dynamic")
         and cfg.plant.substeps == 1
     )
+
+
+def _traffic_ticks_base(
+    ego, pid_buf, pid_cnt, pid_last, obs, npc_idx, lane_off, lane_tgt,
+    agent_slot, tspeed, ttime, target, arrived, feas, plan_ok,
+    dest_x, dest_y, global_path, cfg: EMConfig, behavior: str,
+):
+    """One traffic plan-cycle's tick loop (lights-free), unbatched XLA scan:
+    ``_full_ticks_base``'s ego tick + the NPC agent world model
+    (``_advance_npcs``) in place of constant-velocity obstacle advance.
+
+    The semantic definition behind the traffic branch of the Pallas tick
+    kernel (``ops/tick_pallas.py`` with ``traffic=...``). Returns
+    (ego', pid', obs', npc_idx', lane_off', lane_tgt', arrived', metrics).
+    """
+    from emplanner_carla_tpu.control import pid as pid_mod
+    from emplanner_carla_tpu.ops import interp as interp_ops
+    from emplanner_carla_tpu.sim import npc as npc_mod
+
+    lp = cfg.loop
+    tick_dt = cfg.plant.dt
+    nd = tspeed.shape[-1]
+    t_dx = ttime[1] - ttime[0]
+    preset = npc_mod.preset(behavior)
+
+    def control_tick(carry, tick_idx):
+        ego, cs, obs, npc_idx, lane, arrived = carry
+        t_rel = (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
+        w = interp_ops.uniform_hat(t_rel[None], ttime[0], t_dx, nd)
+        plan_speed = jnp.sum(w[0] * tspeed)
+        plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
+
+        vxw, vyw = ego.v_world
+        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
+        ux, uy = vxw / spd, vyw / spd
+        dxo, dyo = obs.x - ego.x, obs.y - ego.y
+        d_long = dxo * ux + dyo * uy
+        d_lat = -dxo * uy + dyo * ux
+        lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
+        d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
+        v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        tick_target_kmh = 3.6 * jnp.minimum(plan_speed, v_cap)
+
+        steer, throttle, brake, cs = vehicle.run_step(
+            ego, target, cs, tick_target_kmh, cfg.vehicle, cfg.control
+        )
+        arrived = arrived | (
+            jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
+        )
+        stop = arrived | ~plan_ok
+        steer = jnp.where(stop, 0.0, steer)
+        throttle = jnp.where(stop, 0.0, throttle)
+        brake = jnp.where(stop, 1.0, brake)
+        ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
+        obs, npc_idx, lane = _advance_npcs(
+            ego, obs, npc_idx, lane, tick_dt, global_path, agent_slot,
+            preset, cfg.vehicle,
+        )
+
+        d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
+        collided = jnp.any(obs.valid & (d_obs < COLLISION_RADIUS))
+        m = TickMetrics(
+            ego.x, ego.y, 3.6 * ego.speed, _lateral_error(ego, target),
+            ego.phi, collided, arrived, feas & plan_ok,
+        )
+        return (ego, cs, obs, npc_idx, lane, arrived), m
+
+    cs0 = vehicle.ControllerState.init(cfg.control)._replace(
+        pid=pid_mod.PIDState(pid_buf, pid_cnt, pid_last)
+    )
+    lane0 = npc_mod.LaneState(lane_off, lane_tgt)
+    (ego, cs, obs, npc_idx, lane, arrived), metrics = jax.lax.scan(
+        control_tick, (ego, cs0, obs, npc_idx, lane0, arrived),
+        jnp.arange(lp.plan_every),
+    )
+    return (
+        ego, cs.pid.buffer, cs.pid.count, cs.pid.last_error, obs, npc_idx,
+        lane.offset, lane.target, arrived, metrics,
+    )
+
+
+@lru_cache(maxsize=None)
+def _traffic_tick_dispatch(cfg: EMConfig, behavior: str):
+    """custom_vmap for the traffic tick loop: unbatched -> XLA scan
+    (``_traffic_ticks_base``); full-lane TPU batches -> the Pallas tick
+    kernel's traffic branch (ego control/plant + all K NPC agents stepped
+    in-register across the whole cycle)."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(ego, pid_buf, pid_cnt, pid_last, obs, npc_idx, lane_off, lane_tgt,
+          agent_slot, tspeed, ttime, target, arrived, feas, plan_ok,
+          dest_x, dest_y, global_path):
+        return _traffic_ticks_base(
+            ego, pid_buf, pid_cnt, pid_last, obs, npc_idx, lane_off,
+            lane_tgt, agent_slot, tspeed, ttime, target, arrived, feas,
+            plan_ok, dest_x, dest_y, global_path, cfg, behavior,
+        )
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, *args):
+        from emplanner_carla_tpu.ops import tick_pallas
+
+        def bcast(a, was):
+            return a if was else jnp.broadcast_to(a, (axis_size,) + a.shape)
+
+        args = tuple(
+            jax.tree.map(bcast, a, ab) for a, ab in zip(args, in_batched)
+        )
+        (ego, pid_buf, pid_cnt, pid_last, obs, npc_idx, lane_off, lane_tgt,
+         agent_slot, tspeed, ttime, target, arrived, feas, plan_ok,
+         dest_x, dest_y, global_path) = args
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and axis_size % tick_pallas.BLK == 0
+        )
+        if use_pallas:
+            (ego_n, buf_n, cnt_n, last_n, obs_n, idx_n, off_n, tgt_n,
+             arr_n, md) = tick_pallas.run_ticks_batched(
+                ego, pid_buf, pid_cnt, pid_last, obs, tspeed, target,
+                arrived, feas, plan_ok, dest_x, dest_y, cfg,
+                traffic=(global_path, npc_idx, lane_off, lane_tgt,
+                         agent_slot, behavior),
+            )
+            metrics = TickMetrics(
+                md["x"], md["y"], md["speed_kmh"], md["lateral_err"],
+                md["heading"], md["collided"], md["arrived"], md["feasible"],
+                jnp.zeros(md["x"].shape, jnp.int32),
+            )
+            out = (ego_n, buf_n, cnt_n, last_n, obs_n, idx_n, off_n, tgt_n,
+                   arr_n, metrics)
+        else:
+            out = jax.vmap(
+                lambda *a: _traffic_ticks_base(*a, cfg, behavior)
+            )(*args)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return f
 
 
 @partial(jax.jit, static_argnames=("cfg",))

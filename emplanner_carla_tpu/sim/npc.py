@@ -43,16 +43,25 @@ class BehaviorPreset(NamedTuple):
     decel: Array
 
 
+_PRESET_TABLE = {
+    "cautious": (30.0 / 3.6, 3.0, 12.0, 1.5, 3.0),
+    "normal": (40.0 / 3.6, 2.0, 10.0, 2.0, 4.0),
+    "aggressive": (50.0 / 3.6, 1.0, 8.0, 3.0, 5.0),
+}
+
+
 def preset(name: str) -> BehaviorPreset:
     """Cautious / normal / aggressive, scaled from ``behavior_types.py:8-37``
     (speeds there are km/h deltas below the limit; we use absolute m/s)."""
-    table = {
-        "cautious": (30.0 / 3.6, 3.0, 12.0, 1.5, 3.0),
-        "normal": (40.0 / 3.6, 2.0, 10.0, 2.0, 4.0),
-        "aggressive": (50.0 / 3.6, 1.0, 8.0, 3.0, 5.0),
-    }
-    vals = table[name]
-    return BehaviorPreset(*(jnp.asarray(v, jnp.float32) for v in vals))
+    return BehaviorPreset(
+        *(jnp.asarray(v, jnp.float32) for v in _PRESET_TABLE[name])
+    )
+
+
+def preset_floats(name: str) -> tuple:
+    """The preset as plain Python floats — for trace-time constants (the
+    Pallas tick kernel bakes them in; jnp scalars would leak tracers)."""
+    return tuple(float(v) for v in _PRESET_TABLE[name])
 
 
 class NPCState(NamedTuple):
@@ -131,9 +140,16 @@ def lane_change_decision(
 
 def lateral_offset_on_path(s: EgoState, path: Path, idx: Array) -> Array:
     """The NPC's current lateral offset from its path (+ = path-normal
-    (-sin, cos) side), measured at node ``idx``."""
-    th = path.theta[idx]
-    return -(s.x - path.x[idx]) * jnp.sin(th) + (s.y - path.y[idx]) * jnp.cos(th)
+    (-sin, cos) side), measured at node ``idx``.
+
+    Node lookups go through ``frenet._gather``'s one-hot contraction: a
+    direct ``path.theta[idx]`` with a per-lane index is a TPU gather under
+    the fleet ``vmap`` (measured the dominant cost of the agent-traffic
+    tick — bench config 7)."""
+    th = frenet._gather(path.theta, idx)
+    px = frenet._gather(path.x, idx)
+    py = frenet._gather(path.y, idx)
+    return -(s.x - px) * jnp.sin(th) + (s.y - py) * jnp.cos(th)
 
 
 def slew_lane(lane: LaneState, dt: float) -> LaneState:
@@ -193,9 +209,13 @@ def npc_step(
         idx + 2 + (s.vx / 4.0).astype(jnp.int32), 0, path.n - 1
     )
     off = jnp.zeros(()) if lane_offset is None else lane_offset
-    th_l = path.theta[look]
-    dx = path.x[look] - off * jnp.sin(th_l) - s.x
-    dy = path.y[look] + off * jnp.cos(th_l) - s.y
+    # one-hot node lookups (see lateral_offset_on_path): gathers with
+    # per-lane indices are the TPU bottleneck of the vmapped traffic tick
+    th_l = frenet._gather(path.theta, look)
+    lx = frenet._gather(path.x, look)
+    ly = frenet._gather(path.y, look)
+    dx = lx - off * jnp.sin(th_l) - s.x
+    dy = ly + off * jnp.cos(th_l) - s.y
     # pure pursuit: steer toward the lookahead point
     alpha = jnp.arctan2(dy, dx) - s.phi
     alpha = jnp.arctan2(jnp.sin(alpha), jnp.cos(alpha))

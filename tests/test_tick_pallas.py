@@ -101,3 +101,97 @@ def test_tick_kernel_matches_scan(ctrl, plant_kind):
     np.testing.assert_array_equal(
         np.asarray(md["feasible"]), np.asarray(met_r.feasible)
     )
+
+
+def test_traffic_tick_kernel_matches_scan():
+    """The kernel's agent-traffic branch (in-register NPC agents: pure
+    pursuit on the global path + IDM + lane decisions) vs the XLA scan base
+    ``closed_loop._traffic_ticks_base``. NPC headings flow through the
+    kernel's polynomial atan2, so the bars allow ~1e-4-grade drift on NPC
+    channels over the 25-tick horizon."""
+    base = EMConfig()
+    cfg = EMConfig(
+        loop=dataclasses.replace(base.loop, plan_every=25, n_plans=1),
+    )
+    B = tick_pallas.BLK
+    scs = scenario.batch_scenarios(
+        jax.random.PRNGKey(3), B, cfg, n_path=96, with_walker=True
+    )
+
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.planner import em_planner
+
+    def plan(gp, ego, obstacles):
+        mi = frenet.nearest_index(ego.x, ego.y, gp)
+        res = em_planner.plan_full_cycle(gp, ego, obstacles, mi, cfg)
+        return res.path.target, res.trajectory, res.path.feasible
+
+    target, traj, feas = jax.jit(jax.vmap(plan))(
+        scs.global_path, scs.ego0, scs.obstacles
+    )
+
+    K = scs.obstacles.x.shape[1]
+    npc_idx0 = jax.vmap(
+        lambda gp, o: jax.vmap(
+            lambda k: jnp.argmin(
+                (gp.x - o.x[k]) ** 2 + (gp.y - o.y[k]) ** 2
+            ).astype(jnp.int32)
+        )(jnp.arange(K))
+    )(scs.global_path, scs.obstacles)
+    speed0 = jnp.hypot(scs.obstacles.vx, scs.obstacles.vy)
+    agent_slot = (jnp.arange(K) >= cfg.n_static_obs) & (speed0 > 2.5)
+    lane0 = jnp.zeros((B, K))
+
+    n_buf = cfg.control.pid_buffer
+    pid_buf = jnp.zeros((B, n_buf))
+    pid_cnt = jnp.zeros((B,), jnp.int32)
+    pid_last = jnp.zeros((B,))
+    arrived = jnp.zeros((B,), bool)
+    plan_ok = jnp.ones((B,), bool)
+    dest_x = scs.global_path.x[:, -1]
+    dest_y = scs.global_path.y[:, -1]
+    args = (
+        scs.ego0, pid_buf, pid_cnt, pid_last, scs.obstacles, npc_idx0,
+        lane0, lane0, agent_slot, jnp.nan_to_num(traj.speed),
+        jnp.nan_to_num(traj.time), target, arrived, feas, plan_ok,
+        dest_x, dest_y, scs.global_path,
+    )
+
+    ref = jax.vmap(
+        lambda *a: closed_loop._traffic_ticks_base(*a, cfg, "normal")
+    )(*args)
+
+    tick_pallas.run_ticks_batched._interpret = True
+    try:
+        got = tick_pallas.run_ticks_batched(
+            scs.ego0, pid_buf, pid_cnt, pid_last, scs.obstacles,
+            jnp.nan_to_num(traj.speed), target, arrived, feas, plan_ok,
+            dest_x, dest_y, cfg,
+            traffic=(scs.global_path, npc_idx0, lane0, lane0, agent_slot,
+                     "normal"),
+        )
+    finally:
+        tick_pallas.run_ticks_batched._interpret = False
+
+    (ego_r, buf_r, cnt_r, last_r, obs_r, idx_r, off_r, tgt_r, arr_r,
+     met_r) = ref
+    (ego_g, buf_g, cnt_g, last_g, obs_g, idx_g, off_g, tgt_g, arr_g,
+     md) = got
+
+    np.testing.assert_allclose(ego_g.x, ego_r.x, atol=1e-3)
+    np.testing.assert_allclose(ego_g.y, ego_r.y, atol=1e-3)
+    np.testing.assert_allclose(ego_g.phi, ego_r.phi, atol=5e-4)
+    np.testing.assert_allclose(buf_g, buf_r, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(cnt_g), np.asarray(cnt_r))
+    # NPC world state: agent slots carry poly-atan2 headings
+    np.testing.assert_allclose(obs_g.x, obs_r.x, atol=1e-3)
+    np.testing.assert_allclose(obs_g.y, obs_r.y, atol=1e-3)
+    np.testing.assert_allclose(obs_g.vx, obs_r.vx, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(idx_g), np.asarray(idx_r))
+    np.testing.assert_allclose(off_g, off_r, atol=1e-5)
+    np.testing.assert_allclose(tgt_g, tgt_r, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(arr_g), np.asarray(arr_r))
+    np.testing.assert_allclose(md["x"], met_r.x, atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(md["collided"]), np.asarray(met_r.collided)
+    )
