@@ -411,6 +411,126 @@ def test_simulate_traffic_matches_oracle(full):
     assert npc_x > 30.0 + 4.0 * N_PLANS * 100 * cfg.plant.dt + 2.0
 
 
+def _yield_infeasible_scenario(cfg):
+    """A crossing NPC the ego physically cannot yield to (round-2 verdict
+    weak item 6 / next-round item 7): ego at 18 m/s (max-braking stop
+    ~27 m), crosser occupying s ~= 26 m during t in [1.0, 1.21] — the
+    yield line sits metres BELOW the reachable max-braking envelope, so
+    speed_qp's feasibility relaxation must activate and the profile must
+    degrade to braking at accel_min. The crosser is faster than the ego
+    (19 m/s) so the virtual-obstacle path swerve stays inactive and the
+    ST graph alone carries the interaction; it clears the lane at
+    t = 1.21 s, long before the sliding ego reaches its station."""
+    n = 200
+    s = jnp.arange(n) * 2.0
+    gp = Path(s, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    d0 = cfg.n_static_obs
+    ox = jnp.zeros(K).at[d0].set(26.0)
+    oy = jnp.zeros(K).at[d0].set(-21.0)
+    ovy = jnp.zeros(K).at[d0].set(19.0)
+    valid = jnp.zeros(K, bool).at[d0].set(True)
+    obstacles = Obstacles(ox, oy, jnp.zeros(K), ovy, valid)
+    z = jnp.zeros(())
+    ego0 = EgoState(
+        gp.x[0], gp.y[0], gp.theta[0], jnp.asarray(18.0, jnp.float32),
+        z, z, z, z, z,
+    )
+    return scenario.Scenario(gp, ego0, obstacles)
+
+
+def test_yield_infeasible_relaxation_end_to_end():
+    """The speed-QP envelope relaxation's documented safety argument,
+    pinned end-to-end: when the yield cap is unreachable under max
+    braking, (a) the relaxation is ACTIVE in cycle 0, (b) the planned
+    profile degrades to braking at accel_min, and (c) the closed loop —
+    relaxed QP + ACC guard — still avoids the collision, in both the JAX
+    loop and the float64 oracle, with fidelity intact."""
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.planner import (
+        em_planner, speed_planner, trajectory as traj_mod,
+    )
+    from emplanner_carla_tpu.sim import perception
+
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=N_PLANS)
+    )
+    sp = cfg.speed
+    sc = _yield_infeasible_scenario(cfg)
+
+    # --- (a)+(b): recompute cycle 0's speed stage with public pieces ---
+    ego, obstacles, gp = sc.ego0, sc.obstacles, sc.global_path
+    mi = frenet.nearest_index(ego.x, ego.y, gp)
+    res = em_planner.plan_path_cycle(gp, ego, obstacles, mi, cfg)
+    target = res.target
+    vx_w, vy_w = ego.v_world
+    s_dot0, s_ddot0 = speed_planner.speed_plan_start(
+        vx_w, vy_w, ego.ax, ego.ay, target.theta[0]
+    )
+    s_dot0 = jnp.maximum(s_dot0, 0.0)
+    path_arc = traj_mod.path_arc_length(target)
+    _, dyn_mask, _ = perception.perceive(ego, obstacles, cfg.loop)
+    d0 = cfg.n_static_obs
+    d_s, d_l, d_sd, d_ld = frenet.dynamic_obs_frenet(
+        obstacles.x[d0:], obstacles.y[d0:], obstacles.vx[d0:],
+        obstacles.vy[d0:], target, path_arc,
+    )
+    seg = speed_planner.st_graph(d_s, d_l, d_sd, d_ld, dyn_mask[d0:], sp)
+    assert int(jnp.sum(seg.valid)) == 1
+    dp = speed_planner.speed_dp(seg, s_dot0, sp)
+    s_lb, s_ub, sd_lb, sd_ub = speed_planner.convex_space(
+        dp, seg, path_arc, target.kappa, sp
+    )
+    # yield chosen (a finite upper cap), not overtake
+    assert float(jnp.min(s_ub)) < 1e7
+    assert float(jnp.max(s_lb)) == 0.0
+    # the cap is BELOW the max-braking envelope (float64 recurrence
+    # mirroring speed_qp/speed_qp_scipy) -> relaxation active
+    v, a, se = float(s_dot0), float(s_ddot0), 0.0
+    env = []
+    for _ in range(sp.n_t):
+        an = max(sp.accel_min, -2.0 * v / sp.t_step - a)
+        vn = max(v + sp.t_step * 0.5 * (a + an), 0.0)
+        se = (se + sp.t_step * v + sp.t_step ** 2 / 3.0 * a
+              + sp.t_step ** 2 / 6.0 * an)
+        env.append(se)
+        v, a = vn, an
+    gap = np.asarray(s_ub) - np.asarray(env)
+    assert float(gap.min()) < -1.0, f"relaxation not active: {gap.min()}"
+    # the relaxed QP degrades to max braking
+    qs, qv, qa, qt = speed_planner.speed_qp(
+        s_dot0, s_ddot0, s_lb, s_ub, sd_lb, sd_ub, sp
+    )
+    assert float(jnp.min(qa)) <= sp.accel_min + 0.1
+
+    # --- (c): closed loop, JAX vs oracle ---
+    carry, metrics = closed_loop.simulate_full(
+        gp, ego, obstacles, cfg
+    )
+    summ = closed_loop.summarize(metrics)
+    assert not bool(summ["collided"])
+    speeds = np.asarray(metrics.speed_kmh).reshape(-1)
+    # hard brake actually happened (18 m/s = 64.8 km/h at t=0)
+    assert float(speeds[:150].min()) < 45.0
+    jx = np.asarray(metrics.x).reshape(-1)
+    jy = np.asarray(metrics.y).reshape(-1)
+    g, ego0, statics, dynamics = unpack_scenario(sc)
+    assert statics == [] and len(dynamics) == 1
+    ox_, oy_ = closed_loop_np.simulate_full(
+        g, ego0, statics, dynamics, cfg, n_plans=N_PLANS
+    )
+    rmse = lateral_rmse(jx, jy, ox_, oy_)
+    assert rmse <= 0.05, f"yield-infeasible RMSE vs oracle {rmse:.3f} m"
+    per_tick = np.hypot(jx - ox_, jy - oy_)
+    assert float(np.max(per_tick)) < 1.0
+    # oracle run is collision-free too (crosser CV: position closed-form)
+    t_obs = (np.arange(len(ox_)) + 1.0) * cfg.plant.dt
+    d_cross = np.hypot(
+        ox_ - 26.0, oy_ - (-21.0 + 19.0 * t_obs)
+    )
+    assert float(d_cross.min()) > 1.5
+
+
 def test_full_em_matches_oracle_crossing_npc():
     """Full EM with a crossing NPC: the ST graph is non-empty, so the speed
     DP / convex-space / speed-QP chain actively shapes the profile in both
