@@ -91,6 +91,141 @@ def plot_run(metrics, scenario=None, cfg=None, path: str = "run.png"):
     return path
 
 
+def animate_run(
+    metrics,
+    scenario=None,
+    cfg=None,
+    path: str = "run.gif",
+    every: int = 10,
+    camera: bool = False,
+    fps: int = 12,
+):
+    """Rollout animation (the live-HUD role, rendered offline): map view
+    with the ego trail + obstacles moving over time, the speed trace with
+    a time cursor, and optionally the ego camera's RGB view per frame —
+    the closest batch-TPU analogue of the reference's real-time pygame
+    window (``simulation_2.py:594-668``; keyboard tele-op is declared out
+    of scope in PARITY.md — there is no interactive process to drive).
+
+    Obstacles are re-simulated at constant velocity from the scenario's
+    initial state (exact for ``simulate``/``simulate_full`` rollouts; for
+    agent traffic it shows the CV approximation). ``camera=True`` renders
+    all camera keyframes in ONE vmapped device call from the recorded ego
+    poses. Writes an animated GIF; returns the path.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    x = np.asarray(metrics.x).reshape(-1)
+    y = np.asarray(metrics.y).reshape(-1)
+    spd = np.asarray(metrics.speed_kmh).reshape(-1)
+    phi = np.asarray(metrics.heading).reshape(-1)
+    dt = cfg.plant.dt if cfg is not None else 0.01
+    t = np.arange(len(spd)) * dt
+    ks = np.arange(0, len(x), max(int(every), 1))
+
+    rgb_frames = None
+    if camera and scenario is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from emplanner_carla_tpu.sim import camera as cam_mod
+        from emplanner_carla_tpu.types import EgoState
+
+        cam_cfg = cam_mod.CameraConfig()
+        ov = scenario.obstacles
+
+        def frame_at(xk, yk, pk, vk, tk):
+            z = jnp.zeros(())
+            ego = EgoState(xk, yk, pk, vk, z, z, z, z, z)
+            obs_t = ov._replace(x=ov.x + ov.vx * tk, y=ov.y + ov.vy * tk)
+            fr = cam_mod.render(ego, scenario.global_path, obs_t, cam_cfg)
+            return cam_mod.rgb_frame(fr, cam_cfg)
+
+        rgb_frames = np.asarray(
+            jax.jit(jax.vmap(frame_at))(
+                jnp.asarray(x[ks], jnp.float32),
+                jnp.asarray(y[ks], jnp.float32),
+                jnp.asarray(phi[ks], jnp.float32),
+                jnp.asarray(spd[ks] / 3.6, jnp.float32),
+                jnp.asarray((ks + 1) * dt, jnp.float32),
+            )
+        )
+
+    ncols = 3 if rgb_frames is not None else 2
+    fig, axes = plt.subplots(1, ncols, figsize=(5 * ncols, 4.2))
+    ax_map, ax_spd = axes[0], axes[1]
+
+    if scenario is not None:
+        gp = scenario.global_path
+        ax_map.plot(np.asarray(gp.x), np.asarray(gp.y), "k--", lw=0.8)
+    ax_map.plot(x, y, color="0.8", lw=0.8)  # full route, dimmed
+    trail, = ax_map.plot([], [], "b-", lw=1.4)
+    ego_pt, = ax_map.plot([], [], "bo", ms=6)
+    obs_sc = None
+    if scenario is not None:
+        ov = np.asarray(scenario.obstacles.valid)
+        obs_sc = ax_map.scatter(
+            np.asarray(scenario.obstacles.x)[ov],
+            np.asarray(scenario.obstacles.y)[ov],
+            c="red", marker="s", s=36,
+        )
+    ax_map.set_title("world")
+    ax_map.axis("equal")
+    ax_map.grid(alpha=0.3)
+
+    ax_spd.plot(t, spd, color="0.7")
+    cursor, = ax_spd.plot([], [], "b-", lw=1.4)
+    ax_spd.set_title("speed (km/h)")
+    ax_spd.set_xlabel("t (s)")
+    ax_spd.grid(alpha=0.3)
+
+    im = None
+    if rgb_frames is not None:
+        im = axes[2].imshow(rgb_frames[0])
+        axes[2].set_title("ego camera")
+        axes[2].set_xticks([])
+        axes[2].set_yticks([])
+
+    if scenario is not None:
+        obs0x = np.asarray(scenario.obstacles.x)
+        obs0y = np.asarray(scenario.obstacles.y)
+        obsvx = np.asarray(scenario.obstacles.vx)
+        obsvy = np.asarray(scenario.obstacles.vy)
+        ovalid = np.asarray(scenario.obstacles.valid)
+
+    def draw(i):
+        k = ks[i]
+        trail.set_data(x[: k + 1], y[: k + 1])
+        ego_pt.set_data([x[k]], [y[k]])
+        arts = [trail, ego_pt, cursor]
+        if obs_sc is not None:
+            tk = (k + 1) * dt
+            obs_sc.set_offsets(
+                np.stack(
+                    [obs0x[ovalid] + obsvx[ovalid] * tk,
+                     obs0y[ovalid] + obsvy[ovalid] * tk], axis=1
+                )
+            )
+            arts.append(obs_sc)
+        cursor.set_data(t[: k + 1], spd[: k + 1])
+        if im is not None:
+            im.set_data(rgb_frames[i])
+            arts.append(im)
+        return arts
+
+    fig.tight_layout()
+    anim = animation.FuncAnimation(
+        fig, draw, frames=len(ks), blit=True, interval=1000 // fps
+    )
+    anim.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def plot_camera_frame(frame, cfg=None, path: str = "camera.png"):
     """Render one sim/camera.py frame as the four-panel HUD view the
     reference's pygame window showed (RGB / semantic / depth / flow,

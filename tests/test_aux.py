@@ -146,6 +146,22 @@ class TestReportAndCheckpoint:
         p = report.plot_run(metrics, sc, cfg, path=str(tmp_path / "run.png"))
         assert (tmp_path / "run.png").stat().st_size > 10000
 
+    def test_animate_run(self, run, tmp_path):
+        cfg, sc, carry, metrics = run
+        from PIL import Image
+
+        from emplanner_carla_tpu.utils import report
+
+        p = report.animate_run(
+            metrics, sc, cfg, path=str(tmp_path / "run.gif"), every=50,
+            camera=True,
+        )
+        img = Image.open(p)
+        assert img.format == "GIF"
+        n = getattr(img, "n_frames", 1)
+        assert n == (cfg.loop.n_plans * cfg.loop.plan_every + 49) // 50
+        assert (tmp_path / "run.gif").stat().st_size > 20000
+
     def test_checkpoint_roundtrip_and_resume(self, run, tmp_path):
         cfg, sc, carry, metrics = run
         from emplanner_carla_tpu.utils import checkpoint
