@@ -40,22 +40,25 @@ class Tracks(NamedTuple):
     vx: Array
     vy: Array
     valid: Array
+    misses: Array  # consecutive cycles without a matching detection
 
     @classmethod
     def init(cls, d: int):
         z = jnp.zeros(d, jnp.float32)
-        return cls(z, z, z, z, jnp.zeros(d, bool))
+        return cls(z, z, z, z, jnp.zeros(d, bool), jnp.zeros(d, jnp.int32))
 
 
 ASSOC_GATE = 12.0    # m: association radius around the CV-predicted track
 VEL_EMA = 0.5        # velocity estimate smoothing
 VEL_MAX = 25.0       # m/s sanity clamp: faster implied motion = new object
+MAX_MISSES = 2       # cycles an unmatched track coasts before it dies
 
 
 def update_tracks(
     det: detector.Detections, tracks: Tracks, plan_dt: float
 ) -> Tracks:
-    """Nearest-neighbour association + finite-difference velocities.
+    """Nearest-neighbour association + finite-difference velocities +
+    miss-tolerant coasting.
 
     Tracks are predicted forward by their constant-velocity estimate over
     the plan period; each detection then claims its nearest predicted
@@ -64,8 +67,14 @@ def update_tracks(
     period of true motion). Matched tracks finite-difference the raw
     positions into an EMA-smoothed velocity; an implied speed above
     ``VEL_MAX`` is treated as a mis-association and the detection starts a
-    fresh at-rest track. Fixed shapes throughout: detections and tracks
-    share the detector's slot count.
+    fresh at-rest track.
+
+    Continuity: a valid track that no detection claimed this cycle (object
+    occluded / out of frame / detector miss) COASTS — it keeps its
+    velocity and advances to the predicted position — for up to
+    ``MAX_MISSES`` consecutive cycles before dying, compacted into the
+    detection slots left invalid this cycle. Fixed shapes throughout:
+    detections and tracks share the detector's slot count.
     """
     px = tracks.x + tracks.vx * plan_dt
     py = tracks.y + tracks.vy * plan_dt
@@ -86,7 +95,41 @@ def update_tracks(
     vy = jnp.where(
         matched, VEL_EMA * vy_fd + (1 - VEL_EMA) * tracks.vy[j], 0.0
     )
-    return Tracks(det.x, det.y, vx, vy, det.valid)
+
+    # coast candidates: old valid tracks no detection claimed, under the
+    # miss budget, advanced to their predicted pose
+    d = det.x.shape[0]
+    claimed = (
+        jnp.zeros(d, jnp.int32).at[j].max(matched.astype(jnp.int32)) > 0
+    )
+    coast = tracks.valid & ~claimed & (tracks.misses < MAX_MISSES)
+    # compact the k-th coasting track into the k-th invalid detection slot
+    # (both ranks via cumsum; a coasting track drops only if there are
+    # more coasters than free slots — can't happen: slots are shared)
+    free = ~det.valid
+    coast_rank = jnp.cumsum(coast.astype(jnp.int32)) - 1      # rank among coasters
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1        # rank among free slots
+    # for each free slot (rank r), the coaster with rank r (if any)
+    src = jnp.argmax(
+        (coast_rank[None, :] == free_rank[:, None])
+        & coast[None, :] & free[:, None],
+        axis=1,
+    )
+    has_src = jnp.any(
+        (coast_rank[None, :] == free_rank[:, None])
+        & coast[None, :] & free[:, None],
+        axis=1,
+    )
+    take = free & has_src
+    out_x = jnp.where(det.valid, det.x, jnp.where(take, px[src], 0.0))
+    out_y = jnp.where(det.valid, det.y, jnp.where(take, py[src], 0.0))
+    out_vx = jnp.where(det.valid, vx, jnp.where(take, tracks.vx[src], 0.0))
+    out_vy = jnp.where(det.valid, vy, jnp.where(take, tracks.vy[src], 0.0))
+    out_valid = det.valid | take
+    out_miss = jnp.where(
+        det.valid, 0, jnp.where(take, tracks.misses[src] + 1, 0)
+    )
+    return Tracks(out_x, out_y, out_vx, out_vy, out_valid, out_miss)
 
 
 class PixelCarry(NamedTuple):
