@@ -107,6 +107,18 @@ class PathPlanConfig:
     # RMSE/speed/collision metrics exactly; 30 and below start costing
     # mean speed (under-converged speed QP).
     warm_admm_iters: int = 60
+    # obstacle slots kept for the DP's distance tensors (the full-EM
+    # cycle's largest stage after the round-3 profile: ~5 ms of a 25 ms
+    # cycle at batch 4096, linear in slots). Slots outside the DP's s
+    # window [s0 - safe_dist, s0 + cols*sample_s + safe_dist] contribute
+    # exactly zero cost and are pruned first (exact); of the remainder the
+    # nearest-|s - s0| dp_top_m are kept. With <= dp_top_m relevant
+    # obstacles (every bench/fidelity scenario: <= 3 gated statics + 4
+    # virtual points) the DP is bit-identical to the uncompressed one;
+    # beyond that, drops are surfaced through PathPlanResult.obs_dropped
+    # -> TickMetrics.segments_dropped (same observability contract as
+    # st_top_m). Raise to n_static_obs + 4 + n_dynamic_obs to disable.
+    dp_top_m: int = 8
 
     @property
     def n_enriched(self) -> int:

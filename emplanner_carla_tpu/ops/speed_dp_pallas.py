@@ -110,28 +110,25 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
             nrm = v3s * v3s + v3t * v3t + 1e-24
             return si, so, ti, to, mk, v3s, v3t, nrm
 
-        def point_cost(s_pts, t_pt):
-            """Masked summed segment-distance cost of the (n_s, 1)-station,
-            scalar-time sample set -> (n_s, BLK). Mirrors _seg_distance."""
-            acc = jnp.zeros((n_s, BLK), jnp.float32)
-            for k in range(K):
-                si, so, ti, to, mk, v3s, v3t, nrm = seg_fields(k)
-                v1s = si - s_pts                 # (n_s, BLK)
-                v1t = ti - t_pt                  # (BLK,)
-                v2s = so - s_pts
-                v2t = to - t_pt
-                d1_sq = v1s * v1s + v1t * v1t
-                d2_sq = v2s * v2s + v2t * v2t
-                cross = v1s * v3t - v1t * v3s
-                d_perp_sq = cross * cross * (1.0 / nrm)
-                p1 = v1s * v3s + v1t * v3t
-                p2 = v2s * v3s + v2t * v3t
-                endpoint = (p1 > 0) == (p2 > 0)
-                d = jnp.sqrt(
-                    jnp.where(endpoint, jnp.minimum(d1_sq, d2_sq), d_perp_sq)
-                )
-                acc = acc + mk * _cost_of(d)
-            return acc
+        def point_cost_k(k, s_pts, t_pt):
+            """Segment-k distance cost of the (n_s, 1)-station, scalar-time
+            sample set -> (n_s, BLK). Mirrors _seg_distance."""
+            si, so, ti, to, mk, v3s, v3t, nrm = seg_fields(k)
+            v1s = si - s_pts                 # (n_s, BLK)
+            v1t = ti - t_pt                  # (BLK,)
+            v2s = so - s_pts
+            v2t = to - t_pt
+            d1_sq = v1s * v1s + v1t * v1t
+            d2_sq = v2s * v2s + v2t * v2t
+            cross = v1s * v3t - v1t * v3s
+            d_perp_sq = cross * cross * (1.0 / nrm)
+            p1 = v1s * v3s + v1t * v3t
+            p2 = v2s * v3s + v2t * v3t
+            endpoint = (p1 > 0) == (p2 > 0)
+            d = jnp.sqrt(
+                jnp.where(endpoint, jnp.minimum(d1_sq, d2_sq), d_perp_sq)
+            )
+            return mk * _cost_of(d)
 
         @pl.when(t == 0)
         def _init():
@@ -144,28 +141,35 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
             cost_s[:] = ref0_ref[:] + acc0
             sdot_s[:] = jnp.broadcast_to(v0e_ref[:], (n_s, BLK))
 
-            @pl.when(any_v)
-            def _obs0():
-                ob = jnp.zeros((n_s, BLK), jnp.float32)
-                for q in range(m):
-                    ob = ob + point_cost(
-                        s0_ref[q][:, None], float(frac_np[q]) * t0
-                    )
-                cost_s[:] = cost_s[:] + ob
+            # per-SLOT validity gate: in the fleet mix at most one segment
+            # slot is populated in a block (one crossing NPC per scenario),
+            # so slot 1's sqrt/exp chains are skipped block-wide
+            for k in range(K):
+                @pl.when(jnp.any(va_ref[k] > 0.5))
+                def _obs0(k=k):
+                    ob = jnp.zeros((n_s, BLK), jnp.float32)
+                    for q in range(m):
+                        ob = ob + point_cost_k(
+                            k, s0_ref[q][:, None], float(frac_np[q]) * t0
+                        )
+                    cost_s[:] = cost_s[:] + ob
 
             top0_s[:] = cost_s[n_s - 1 : n_s, :]
 
-        # ---- obstacle cost slab for this column (skipped if no segment) ----
-        @pl.when(any_v)
-        def _obs_slab():
-            # endpoint pieces: q = 0 at (s_k, t_start), q = m-1 at
-            # (s_j, t_end) — rank-1 in (k, j)
-            costA = point_cost(sg, t_start)      # (n_s=k, BLK)
-            costB = point_cost(sg, t_end)        # (n_s=j, BLK)
-            acc = costA[:, None, :] + costB[None, :, :]
-            # interior samples: hoisted t-only/segment-only subexpressions
-            # (mirrors _edge_obs_tensors' piece C term for term)
-            for k in range(K):
+        # ---- obstacle cost slab for this column, accumulated per valid
+        # segment slot (a block with no valid slot pays nothing; a block
+        # with one pays one slot's chains) ----
+        obs_s[:] = jnp.zeros((n_s, n_s, BLK), jnp.float32)
+        for k in range(K):
+            @pl.when(jnp.any(va_ref[k] > 0.5))
+            def _obs_slab_k(k=k):
+                # endpoint pieces: q = 0 at (s_k, t_start), q = m-1 at
+                # (s_j, t_end) — rank-1 in (k, j)
+                costA = point_cost_k(k, sg, t_start)   # (n_s=k, BLK)
+                costB = point_cost_k(k, sg, t_end)     # (n_s=j, BLK)
+                acc = costA[:, None, :] + costB[None, :, :]
+                # interior samples: hoisted t-only/segment-only
+                # subexpressions (mirrors _edge_obs_tensors' piece C)
                 si, so, ti, to, mk, v3s, v3t, nrm = seg_fields(k)
                 inv = 1.0 / nrm
                 for q in range(m - 2):
@@ -191,11 +195,7 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
                         )
                     )
                     acc = acc + mk * _cost_of(d)
-            obs_s[:] = acc
-
-        @pl.when(~any_v)
-        def _obs_zero():
-            obs_s[:] = jnp.zeros((n_s, n_s, BLK), jnp.float32)
+                obs_s[:] = obs_s[:] + acc
 
         cost_prev = cost_s[:]                    # (n_s, BLK)
         sdot_prev = sdot_s[:]

@@ -120,20 +120,28 @@ def run_ticks_batched(
     kind = cc.kind
     plant_kind = lp.kind
     if kind == "MPC":
+        import numpy as _np
+
         vx_grid_np, Minv_np, G1_np, g2_np, Hinv2_np = lateral.mpc_tables(
             cfg.vehicle, cc
         )
         nu = g2_np.shape[1]
-        # transposed for the per-lane table lerp as one MXU contraction:
-        # value(lane) = table.T @ sel(lane)
-        consts_np = [
-            Minv_np.reshape(Minv_np.shape[0], nu * nu).T,  # (nu*nu, n_tab)
-        ] + [
-            G1_np[:, :, k].T for k in range(4)             # 4 x (nu, n_tab)
-        ] + [
-            g2_np.T,                                       # (nu, n_tab)
-            Hinv2_np.reshape(Hinv2_np.shape[0], nu * nu).T,
-        ]
+        # ALL seven per-lane table lerps fused into ONE MXU contraction
+        # (value(lane) = table.T @ sel(lane)): rows stacked
+        # [Minv (nu^2) | G1 e-channels (4 x nu) | g2 (nu) | Hinv2 (nu^2)],
+        # sliced apart in-kernel. Seven separate small dots measured as
+        # dispatch/relayout overhead on the MPC tick's serial path.
+        consts_np = [_np.concatenate(
+            [
+                Minv_np.reshape(Minv_np.shape[0], nu * nu).T,  # (nu*nu, n_tab)
+            ] + [
+                G1_np[:, :, k].T for k in range(4)             # 4 x (nu, n_tab)
+            ] + [
+                g2_np.T,                                       # (nu, n_tab)
+                Hinv2_np.reshape(Hinv2_np.shape[0], nu * nu).T,
+            ],
+            axis=0,
+        )]
     else:
         vx_grid_np, K_table_np = lateral.lqr_gain_table(cfg.vehicle, cc)
         consts_np = [K_table_np]                           # (n_tab, 4)
@@ -293,22 +301,24 @@ def run_ticks_batched(
 
             if kind == "MPC":
                 hp = jax.lax.Precision.HIGHEST
-                (minv_ref, g10_ref, g11_ref, g12_ref, g13_ref,
-                 g2t_ref, hinv2_ref) = const_refs
+                (mpc_tab_ref,) = const_refs
 
-                def lerp(ref):
-                    return jnp.dot(
-                        ref[:], sel, precision=hp,
-                        preferred_element_type=jnp.float32,
-                    )
-
-                minv_l = lerp(minv_ref).reshape(nu, nu, blk)
-                hinv2_l = lerp(hinv2_ref).reshape(nu, nu, blk)
+                lerped = jnp.dot(
+                    mpc_tab_ref[:], sel, precision=hp,
+                    preferred_element_type=jnp.float32,
+                )                                       # (2nu^2+6nu, blk)
+                nn = nu * nu
+                minv_l = lerped[0:nn].reshape(nu, nu, blk)
                 g1e = (
-                    lerp(g10_ref) * e_d + lerp(g11_ref) * e_d_dot
-                    + lerp(g12_ref) * e_phi + lerp(g13_ref) * e_phi_dot
+                    lerped[nn : nn + nu] * e_d
+                    + lerped[nn + nu : nn + 2 * nu] * e_d_dot
+                    + lerped[nn + 2 * nu : nn + 3 * nu] * e_phi
+                    + lerped[nn + 3 * nu : nn + 4 * nu] * e_phi_dot
                 )                                       # (nu, blk)
-                f_vec = 2.0 * (g1e + km * lerp(g2t_ref))
+                f_vec = 2.0 * (
+                    g1e + km * lerped[nn + 4 * nu : nn + 5 * nu]
+                )
+                hinv2_l = lerped[nn + 5 * nu :].reshape(nu, nu, blk)
                 rho_m = 1.0
 
                 # unconstrained fast path (lateral._mpc_steer_table):
@@ -326,10 +336,23 @@ def run_ticks_batched(
                     ud = ud + xx - zz
                     return xx, zz, ud
 
-                # warm-started across ticks (mpc_z/mpc_ud in the tick
-                # carry, zeros at cycle start == ControllerState.rebind)
-                _, zf, udf = jax.lax.fori_loop(
-                    0, cc.mpc_warm_admm_iters, admm, (mpc_z, mpc_z, mpc_ud)
+                def run_admm(_):
+                    # warm-started across ticks (mpc_z/mpc_ud in the tick
+                    # carry, zeros at cycle start == rebind)
+                    _x, zf, udf = jax.lax.fori_loop(
+                        0, cc.mpc_warm_admm_iters, admm,
+                        (mpc_z, mpc_z, mpc_ud),
+                    )
+                    return zf, udf
+
+                # when EVERY lane in the block is box-interior the fast
+                # path is selected everywhere and the ADMM result is
+                # discarded — skip its serial iterations entirely
+                zf, udf = jax.lax.cond(
+                    jnp.all(interior),
+                    lambda _: (mpc_z, mpc_ud),
+                    run_admm,
+                    None,
                 )
                 steer_cmd = jnp.clip(
                     jnp.where(interior, ustar[0:1], zf[0:1]),
@@ -502,7 +525,11 @@ def run_ticks_batched(
                         go_left, LANE_W,
                         jnp.where(go_right, -LANE_W, tgt_k),
                     )
-                    tgt_new = jnp.where(~in_lane & own_free, 0.0, tgt_new)
+                    # merge back only once the pressure released too
+                    # (npc.lane_change_decision's anti-flap hysteresis)
+                    tgt_new = jnp.where(
+                        ~in_lane & own_free & ~blocked, 0.0, tgt_new
+                    )
 
                     # npc_step: forward-windowed first-min match
                     lo = jnp.clip(idx_k, 0, max(n_gp - 32, 0))

@@ -752,7 +752,8 @@ def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5):
 
 
 def simulate_traffic(global_xyTK, ego0, statics, npcs0, cfg,
-                     behavior="normal", n_plans=5, full=False):
+                     behavior="normal", n_plans=5, full=False,
+                     return_npcs=False):
     """Agent-traffic closed loop, float64 — the oracle for
     closed_loop.simulate_traffic (the reference's actual experiment: a
     BehaviorAgent NPC on the same route, ``test_9.py:288-291,344``).
@@ -763,7 +764,9 @@ def simulate_traffic(global_xyTK, ego0, statics, npcs0, cfg,
     other every tick); slower dynamic slots are walkers advancing at
     constant velocity, exactly as the JAX loop splits them.
     ``full=True`` adds the S-T speed stage per replan. Returns
-    (traj_x, traj_y) per ego tick.
+    (traj_x, traj_y) per ego tick; with ``return_npcs=True`` additionally
+    the final per-slot NPC states
+    [x, y, vx, vy, path_index, lane_offset, lane_target, agent].
     """
     from emplanner_carla_tpu.oracle import npc_np
 
@@ -874,4 +877,6 @@ def simulate_traffic(global_xyTK, ego0, statics, npcs0, cfg,
             advance_npcs(ego)
             xs_out.append(ego[0])
             ys_out.append(ego[1])
+    if return_npcs:
+        return np.asarray(xs_out), np.asarray(ys_out), npcs
     return np.asarray(xs_out), np.asarray(ys_out)

@@ -105,7 +105,8 @@ def lane_change_decision(offset, target, gap_own, v_lead_own, v_self,
         target = LANE_WIDTH
     elif blocked and in_lane and right_free:
         target = -LANE_WIDTH
-    if not in_lane and own_free:
+    if (not in_lane) and own_free and (not blocked):
+        # anti-flap hysteresis: stay out until the pressure releases
         target = 0.0
     return offset, target
 

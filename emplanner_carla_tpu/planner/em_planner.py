@@ -48,6 +48,9 @@ class PathPlanResult(NamedTuple):
     path_s: Array       # (n_qp,) stations of the target in local-line s
     path_l: Array       # (n_qp,) lateral offsets
     qp_state: object = None  # path-QP ADMM warm state (when requested)
+    # in-window obstacle slots the dp_top_m compression dropped (int32; 0
+    # whenever <= dp_top_m obstacles are relevant — the oracle keeps all)
+    obs_dropped: Array = 0
 
 
 def n_target(cfg: EMConfig) -> int:
@@ -119,9 +122,28 @@ def plan_path_cycle(
     all_l = jnp.concatenate([obs_l, virt_l])
     all_valid = jnp.concatenate([static_mask, virt_valid])
 
-    # 7. DP decision + densify + downsample
+    # 7. DP decision + densify + downsample. The DP's distance tensors are
+    # linear in obstacle slots; prune slots that cannot cost (outside the
+    # DP s window — exact) and keep the nearest dp_top_m of the rest
+    # (see PathPlanConfig.dp_top_m; drops surfaced via obs_dropped).
+    obs_dropped = jnp.zeros((), jnp.int32)
+    dp_obs = (all_s, all_l, all_valid)
+    if pp.dp_top_m < int(all_s.shape[0]):
+        horizon = pp.cols * pp.sample_s + pp.safe_dist
+        in_win = (
+            all_valid
+            & (all_s > s0 - pp.safe_dist)
+            & (all_s < s0 + horizon)
+        )
+        order = jnp.argsort(jnp.where(in_win, jnp.abs(all_s - s0), jnp.inf))
+        keep = order[: pp.dp_top_m]
+        dp_obs = (all_s[keep], all_l[keep], in_win[keep])
+        obs_dropped = (
+            jnp.sum(in_win.astype(jnp.int32))
+            - jnp.sum(dp_obs[2].astype(jnp.int32))
+        )
     dp_s, dp_l, feasible = path_dp.path_dp(
-        all_s, all_l, all_valid, s0, l0, dl0, ddl0, pp
+        dp_obs[0], dp_obs[1], dp_obs[2], s0, l0, dl0, ddl0, pp
     )
     es, el = path_dp.enrich_dp(dp_s, dp_l, s0, l0, dl0, ddl0, pp)
     st_s = es[:: pp.qp_downsample]
@@ -144,7 +166,9 @@ def plan_path_cycle(
     raw = frenet.frenet_to_cartesian(st_s, qp_l, qp_dl, qp_ddl, local, s_map)
     target = reference_line.smooth_local_path(raw.x, raw.y, rl)
 
-    return PathPlanResult(target, match_index, feasible, st_s, qp_l, qp_state)
+    return PathPlanResult(
+        target, match_index, feasible, st_s, qp_l, qp_state, obs_dropped
+    )
 
 
 class FullPlanResult(NamedTuple):
@@ -227,7 +251,11 @@ def plan_full_cycle(
     if m_keep < int(seg.valid.shape[-1]):
         order = jnp.argsort(jnp.where(seg.valid, seg.t_in, jnp.inf))[:m_keep]
         seg = jax.tree.map(lambda a: a[order], seg)
-    segments_dropped = n_valid_all - jnp.sum(seg.valid.astype(jnp.int32))
+    # planner-compression drops this cycle: ST segments (st_top_m) + DP
+    # obstacle slots (dp_top_m) — one observable counter for both
+    segments_dropped = (
+        n_valid_all - jnp.sum(seg.valid.astype(jnp.int32)) + res.obs_dropped
+    )
     dp = speed_planner.speed_dp(seg, s_dot0, sp)
     s_lb, s_ub, sd_lb, sd_ub = speed_planner.convex_space(
         dp, seg, path_arc, target.kappa, sp

@@ -133,8 +133,15 @@ def lane_change_decision(
         LANE_WIDTH,
         jnp.where(go_right, -LANE_WIDTH, lane.target),
     )
-    # merge back once the own lane is clear again
-    target = jnp.where(~in_lane & own_free, 0.0, target)
+    # merge back once the own lane is clear again — AND the overtake
+    # pressure has released. Without the ~blocked term the target flaps
+    # every tick while the blocker is between the corridor gate (20 m) and
+    # the pressure gate (~39 m at 8 m/s): own_free still true, blocked
+    # still true -> change, merge, change... deferring the actual move
+    # until the blocker is under 20 m (observed in the lane-change parity
+    # test; the reference's BehaviorAgent can't flap — its lane change
+    # rewrites the waypoint plan, behavior_agent.py:150-199).
+    target = jnp.where(~in_lane & own_free & ~blocked, 0.0, target)
     return LaneState(lane.offset, target)
 
 

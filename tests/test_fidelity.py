@@ -531,6 +531,65 @@ def test_yield_infeasible_relaxation_end_to_end():
     assert float(d_cross.min()) > 1.5
 
 
+def test_npc_lane_change_matches_oracle():
+    """The NPC's overtake-pressure lane change at parity: an agent NPC
+    closing on a parked car must commit to the left lane in BOTH systems
+    (decision margins chosen far from the blocked-threshold boundary so a
+    one-tick f32/f64 crossing difference cannot flip it), while the ego
+    trails behind at fidelity."""
+    n_plans = 3
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=n_plans)
+    )
+    n = 200
+    s = jnp.arange(n) * 2.0
+    gp = Path(s, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    d0 = cfg.n_static_obs
+    # slot 0: parked car blocking the NPC's lane; slot d0: the agent NPC
+    ox = jnp.zeros(K).at[0].set(60.0).at[d0].set(20.0)
+    oy = jnp.zeros(K)
+    ovx = jnp.zeros(K).at[d0].set(8.0)
+    valid = jnp.zeros(K, bool).at[0].set(True).at[d0].set(True)
+    obstacles = Obstacles(ox, oy, ovx, jnp.zeros(K), valid)
+    z = jnp.zeros(())
+    ego0 = EgoState(
+        gp.x[0], gp.y[0], gp.theta[0], jnp.asarray(5.0, jnp.float32),
+        z, z, z, z, z,
+    )
+    sc = scenario.Scenario(gp, ego0, obstacles)
+
+    carry, metrics = closed_loop.simulate_traffic(
+        sc.global_path, sc.ego0, sc.obstacles, cfg, behavior="normal"
+    )
+    assert not bool(closed_loop.summarize(metrics)["collided"])
+    # the JAX NPC committed to the left lane and is mid-/post-maneuver
+    j_tgt = float(carry.npc_lane.target[d0])
+    j_off = float(carry.npc_lane.offset[d0])
+    j_npc = (float(carry.loop.obstacles.x[d0]),
+             float(carry.loop.obstacles.y[d0]))
+    assert j_tgt == pytest.approx(3.5), j_tgt
+    assert j_off > 3.0, j_off
+
+    g, ego0_t, statics, dynamics = unpack_scenario(sc)
+    assert len(statics) == 1 and len(dynamics) == 1
+    ox_, oy_, o_npcs = closed_loop_np.simulate_traffic(
+        g, ego0_t, statics, dynamics, cfg, behavior="normal",
+        n_plans=n_plans, return_npcs=True,
+    )
+    o_slot = o_npcs[0]
+    assert o_slot[6] == pytest.approx(3.5)       # lane target
+    assert o_slot[5] > 3.0                       # slewed offset
+    # NPC world state agrees across systems through the maneuver
+    assert abs(j_npc[0] - o_slot[0]) < 0.3
+    assert abs(j_npc[1] - o_slot[1]) < 0.3
+    # ego fidelity bar
+    jx = np.asarray(metrics.x).reshape(-1)
+    jy = np.asarray(metrics.y).reshape(-1)
+    rmse = lateral_rmse(jx, jy, ox_, oy_)
+    assert rmse <= 0.05, f"lane-change RMSE vs oracle {rmse:.3f} m"
+
+
 def test_full_em_matches_oracle_crossing_npc():
     """Full EM with a crossing NPC: the ST graph is non-empty, so the speed
     DP / convex-space / speed-QP chain actively shapes the profile in both
