@@ -145,12 +145,11 @@ def main():
 
     # --- config 8: drive-from-pixels fleet (camera -> detector -> tracker
     # -> planner; beyond-reference — the reference's YOLO demo feeds
-    # nothing downstream, simulation_2.py:159-233). Smaller batch: each
-    # cycle renders a 96x64 raycast frame per scenario. ---
+    # nothing downstream, simulation_2.py:159-233). Each cycle renders a
+    # 96x64 raycast frame per scenario; fits HBM at the full 4096. ---
     from emplanner_carla_tpu.sim import pixel_loop
 
-    B8 = 1024
-    scs8 = scenario.batch_scenarios(jax.random.PRNGKey(3), B8, cfg)
+    scs8 = scenario.batch_scenarios(jax.random.PRNGKey(3), B, cfg)
     f8 = jax.jit(jax.vmap(
         lambda g, e, o: pixel_loop.simulate_pixels(
             g, e, o, cfg
@@ -158,9 +157,9 @@ def main():
     ))
     t = timed(f8, scs8.global_path, scs8.ego0, scs8.obstacles)
     results.append({"config": "8_pixel_loop_path",
-                    "value": round(B8 * cfg.loop.n_plans / t, 1),
+                    "value": round(B * cfg.loop.n_plans / t, 1),
                     "unit": "cycles/s"})
-    print(json.dumps({**results[-1], "batch": B8, "chips": 1}), flush=True)
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
 
 if __name__ == "__main__":

@@ -531,6 +531,61 @@ def test_yield_infeasible_relaxation_end_to_end():
     assert float(d_cross.min()) > 1.5
 
 
+def test_full_em_walker_yield_matches_oracle():
+    """Pedestrian-safety regression: a walker (1.4 m/s) stepping into the
+    lane 18 m ahead of a 36 km/h ego — the SLOW-crosser regime where the
+    ST band is seconds long AND the virtual-obstacle conversion is active
+    (closing on a slow mover inside the lateral gate), so the ego both
+    brakes and swerves. JAX behavior measured: 36 -> ~23 km/h, 3.9 m
+    swerve, 3.5 m min clearance. Must match the float64 oracle and stay
+    collision-free in both."""
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=N_PLANS)
+    )
+    n = 200
+    s = jnp.arange(n) * 2.0
+    gp = Path(s, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    d0 = cfg.n_static_obs
+    ox = jnp.zeros(K).at[d0].set(18.0)
+    oy = jnp.zeros(K).at[d0].set(-3.4)
+    ovy = jnp.zeros(K).at[d0].set(1.4)
+    valid = jnp.zeros(K, bool).at[d0].set(True)
+    obstacles = Obstacles(ox, oy, jnp.zeros(K), ovy, valid)
+    z = jnp.zeros(())
+    ego0 = EgoState(
+        gp.x[0], gp.y[0], gp.theta[0], jnp.asarray(10.0, jnp.float32),
+        z, z, z, z, z,
+    )
+    sc = scenario.Scenario(gp, ego0, obstacles)
+    carry, metrics = closed_loop.simulate_full(
+        sc.global_path, sc.ego0, sc.obstacles, cfg
+    )
+    summ = closed_loop.summarize(metrics)
+    assert not bool(summ["collided"])
+    jx = np.asarray(metrics.x).reshape(-1)
+    jy = np.asarray(metrics.y).reshape(-1)
+    # the ego actually yielded AND swerved
+    spd = np.asarray(metrics.speed_kmh).reshape(-1)
+    assert float(spd.min()) < 26.0
+    assert float(np.abs(jy).max()) > 2.0
+    # true clearance to the moving walker stays safe
+    t_w = (np.arange(len(jx)) + 1.0) * cfg.plant.dt
+    d_w = np.hypot(jx - 18.0, jy - (-3.4 + 1.4 * t_w))
+    assert float(d_w.min()) > 2.0
+    g, ego0_t, statics, dynamics = unpack_scenario(sc)
+    assert statics == [] and len(dynamics) == 1
+    ox_, oy_ = closed_loop_np.simulate_full(
+        g, ego0_t, statics, dynamics, cfg, n_plans=N_PLANS
+    )
+    rmse = lateral_rmse(jx, jy, ox_, oy_)
+    assert rmse <= 0.05, f"walker-yield RMSE vs oracle {rmse:.3f} m"
+    per_tick = np.hypot(jx - ox_, jy - oy_)
+    assert float(np.max(per_tick)) < 1.0, (
+        f"longitudinal divergence {np.max(per_tick):.2f} m"
+    )
+
+
 def test_npc_lane_change_matches_oracle():
     """The NPC's overtake-pressure lane change at parity: an agent NPC
     closing on a parked car must commit to the left lane in BOTH systems
