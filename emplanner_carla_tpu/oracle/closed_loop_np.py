@@ -473,9 +473,35 @@ def _acc_cap_mps(ego, obstacle_xy):
     return max((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
 
 
-def simulate(global_xyTK, ego0, obstacles, cfg, n_plans=5):
+def _red_light_cap_mps(ego, lights, t_abs):
+    """Float64 mirror of sim/traffic_light.red_light_cap: time-headway
+    speed cap against the nearest red stop line ahead. ``lights``: list of
+    (x, y, period, offset, green_frac)."""
+    x, y, phi, vx, vy, _om = ego
+    vxw = vx * math.cos(phi) - vy * math.sin(phi)
+    vyw = vy * math.cos(phi) + vx * math.sin(phi)
+    spd = max(math.hypot(vxw, vyw), 1e-3)
+    if spd < 0.5:
+        ux, uy = math.cos(phi), math.sin(phi)
+    else:
+        ux, uy = vxw / spd, vyw / spd
+    d_stop = float("inf")
+    for (lx, ly, period, offset, gfrac) in lights:
+        phase = math.fmod(t_abs + offset, max(period, 1e-3))
+        if phase < gfrac * period:   # green
+            continue
+        dx, dy = lx - x, ly - y
+        d_long = dx * ux + dy * uy
+        d_lat = -dx * uy + dy * ux
+        if d_long > 0.0 and abs(d_lat) < 3.0:
+            d_stop = min(d_stop, d_long)
+    return max((d_stop - 4.0) / 1.2, 0.0)
+
+
+def simulate(global_xyTK, ego0, obstacles, cfg, n_plans=5, lights=None):
     """Closed loop, float64. Controller (LQR/MPC) and plant
-    (kinematic/dynamic) follow cfg like the JAX loop. Returns
+    (kinematic/dynamic) follow cfg like the JAX loop. ``lights``: optional
+    [(x, y, period, offset, green_frac)] red-light stop lines. Returns
     (traj_x, traj_y) per tick."""
     ego = ego0
     applied = 0.0
@@ -483,12 +509,21 @@ def simulate(global_xyTK, ego0, obstacles, cfg, n_plans=5):
     steer_of = _steer_fn(cfg)
     step_of = _plant_fn(cfg)
     xs_out, ys_out = [], []
+    tick_abs = 0
     for _ in range(n_plans):
         target = plan_cycle(global_xyTK, ego, obstacles, cfg, accel=accel)
         pid = PID(cfg.control)
         for _t in range(cfg.loop.plan_every):
             v_cap = _acc_cap_mps(ego, obstacles) * 3.6
             target_kmh = min(cfg.loop.target_speed_kmh, v_cap)
+            if lights is not None:
+                tick_abs += 1
+                target_kmh = min(
+                    target_kmh,
+                    3.6 * _red_light_cap_mps(
+                        ego, lights, tick_abs * cfg.plant.dt
+                    ),
+                )
             steer = steer_of(ego, target)
             cmd = pid.step(ego[3], target_kmh)
             throttle = float(np.clip(cmd, 0, 1))

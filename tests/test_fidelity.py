@@ -531,6 +531,59 @@ def test_yield_infeasible_relaxation_end_to_end():
     assert float(d_cross.min()) > 1.5
 
 
+def test_red_light_stop_matches_oracle():
+    """Traffic-light parity (previously behavioral-only): ego approaches a
+    red light 40 m ahead, brakes to a stop at the line, waits for green at
+    t = 5 s, then proceeds — against a float64 oracle mirror of
+    sim/traffic_light's time-headway red-light cap."""
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+
+    n_plans = 10
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=n_plans)
+    )
+    n = 200
+    s = jnp.arange(n) * 2.0
+    gp = Path(s, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    obstacles = Obstacles(*(jnp.zeros(K),) * 4, jnp.zeros(K, bool))
+    z = jnp.zeros(())
+    ego0 = EgoState(
+        gp.x[0], gp.y[0], gp.theta[0], jnp.asarray(10.0, jnp.float32),
+        z, z, z, z, z,
+    )
+    # red on [0, 5), green on [5, 10), ...
+    lights = tl_mod.TrafficLights(
+        jnp.asarray([40.0, 0.0]), jnp.asarray([0.0, 0.0]),
+        jnp.asarray([10.0, 1.0]), jnp.asarray([5.0, 0.0]),
+        jnp.asarray([0.5, 1.0]), jnp.asarray([True, False]),
+    )
+    carry, metrics = closed_loop.simulate(gp, ego0, obstacles, cfg, lights)
+    jx = np.asarray(metrics.x).reshape(-1)
+    jy = np.asarray(metrics.y).reshape(-1)
+    spd = np.asarray(metrics.speed_kmh).reshape(-1)
+    # held for the red: the headway cap brakes the approach to a crawl
+    # (asymptotic — the cap scales with distance, so speed decays rather
+    # than hitting zero) and never lets the ego past the line
+    assert float(spd[450:500].max()) < 5.0
+    assert float(jx[:500].max()) < 38.0
+    # proceeded on green and cleared the junction
+    assert float(jx[-1]) > 55.0
+    g = tuple(np.asarray(a, np.float64) for a in (gp.x, gp.y, gp.theta,
+                                                  gp.kappa))
+    ego_t = (0.0, 0.0, 0.0, 10.0, 0.0, 0.0)
+    ox_, oy_ = closed_loop_np.simulate(
+        g, ego_t, [], cfg, n_plans=n_plans,
+        lights=[(40.0, 0.0, 10.0, 5.0, 0.5)],
+    )
+    rmse = lateral_rmse(jx, jy, ox_, oy_)
+    assert rmse <= 0.05, f"red-light RMSE vs oracle {rmse:.3f} m"
+    per_tick = np.hypot(jx - ox_, jy - oy_)
+    assert float(np.max(per_tick)) < 1.0, (
+        f"longitudinal divergence {np.max(per_tick):.2f} m"
+    )
+
+
 def test_full_em_walker_yield_matches_oracle():
     """Pedestrian-safety regression: a walker (1.4 m/s) stepping into the
     lane 18 m ahead of a 36 km/h ego — the SLOW-crosser regime where the
