@@ -79,12 +79,20 @@ def run_ticks_batched(
     dest_y: Array,       # (B,)
     cfg: EMConfig,
     traffic=None,
+    lights=None,
 ):
     """Run ``cfg.loop.plan_every`` ticks for the whole batch in one kernel.
 
     Returns (ego', pid_buffer', pid_count', pid_last', obs', arrived',
     metrics) with metrics = dict of (B, n_ticks) arrays matching
     ``TickMetrics`` channel semantics.
+
+    ``lights``: optional (TrafficLights with (B, L) fields, t0 (B,)) —
+    fixed-cycle red-light stop lines: the ego's ACC cap is min'd with the
+    time-headway red-light cap (sim/traffic_light.red_light_cap) at
+    t_abs = t0 + (tick+1) dt, and in traffic mode every NPC treats a red
+    stop line as a stationary IDM lead. Invalid slots gate to +inf, so
+    TrafficLights.none() reproduces the lights-free loop exactly.
 
     ``traffic``: optional (global_path (B, n_gp), npc_idx (B, K) int32,
     lane_off (B, K), lane_tgt (B, K), agent_slot (B, K) bool, behavior str)
@@ -173,15 +181,29 @@ def run_ticks_batched(
         LANE_W = float(npc_mod.LANE_WIDTH)
         LANE_RATE = float(npc_mod.LANE_CHANGE_RATE)
 
+    if lights is not None:
+        tl, t0_cycle = lights
+        L_n = tl.x.shape[1]
+        STOP_STANDOFF = 4.0   # traffic_light.STOP_STANDOFF
+        STOP_HEADWAY = 1.2    # traffic_light.STOP_HEADWAY
+
     n_consts = len(consts_np)
 
-    n_in_fixed = 8 + (2 if traffic is not None else 0)
+    n_in_fixed = (
+        8 + (2 if traffic is not None else 0)
+        + (1 if lights is not None else 0)
+    )
 
     def kernel(*refs):
         (ego_ref, pbuf_ref, pmisc_ref, obsr_ref, spd_ref, tgt_ref,
          flag_ref, dest_ref) = refs[:8]
+        pos_in = 8
         if traffic is not None:
-            gp_ref, npcr_ref = refs[8:10]
+            gp_ref, npcr_ref = refs[pos_in : pos_in + 2]
+            pos_in += 2
+        if lights is not None:
+            tl_ref = refs[pos_in]
+            pos_in += 1
         const_refs = refs[n_in_fixed : n_in_fixed + n_consts]
         outs = refs[n_in_fixed + n_consts :]
         if traffic is not None:
@@ -202,6 +224,27 @@ def run_ticks_batched(
             iota_K = jax.lax.broadcasted_iota(jnp.int32, (K, blk), 0)
             gp_x, gp_y, gp_th = gp_ref[0], gp_ref[1], gp_ref[2]  # (n_gp, blk)
             agentK = npcr_ref[3]                                 # (K, blk)
+        if lights is not None:
+            # (L, blk) channels + the cycle's absolute start time (1, blk)
+            tl_x, tl_y = tl_ref[0], tl_ref[1]
+            tl_per = jnp.maximum(tl_ref[2], 1e-3)
+            tl_off, tl_gfrac, tl_valid = tl_ref[3], tl_ref[4], tl_ref[5]
+            t0_v = flag_ref[3:4]
+
+            def red_stop_dist(px, py, ux_d, uy_d, t_abs):
+                """(1, blk) distance to the nearest red stop line ahead in
+                the (ux_d, uy_d) corridor; +inf when unaffected — mirrors
+                traffic_light.stop_distance."""
+                phase = jnp.mod(t_abs + tl_off, tl_per)
+                red = (tl_valid > 0.5) & ~(phase < tl_gfrac * tl_per)
+                dxl = tl_x - px
+                dyl = tl_y - py
+                dl_long = dxl * ux_d + dyl * uy_d
+                dl_lat = -dxl * uy_d + dyl * ux_d
+                gate = red & (dl_long > 0.0) & (jnp.abs(dl_lat) < 3.0)
+                return jnp.min(
+                    jnp.where(gate, dl_long, jnp.inf), axis=0, keepdims=True
+                )
 
         tgt_x, tgt_y = tgt_ref[0], tgt_ref[1]          # (n_path, blk)
         tgt_th, tgt_k = tgt_ref[2], tgt_ref[3]
@@ -265,6 +308,13 @@ def run_ticks_batched(
                 jnp.where(lead, d_long, jnp.inf), axis=0, keepdims=True
             )
             v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+            if lights is not None:
+                t_abs = t0_v + (i + 1).astype(jnp.float32) * dt
+                d_stop = red_stop_dist(x, y, ux, uy, t_abs)
+                v_cap = jnp.minimum(
+                    v_cap,
+                    jnp.maximum((d_stop - STOP_STANDOFF) / STOP_HEADWAY, 0.0),
+                )
             tick_kmh = 3.6 * jnp.minimum(plan_speed, v_cap)
 
             # --- lateral steer: shared predicted-pose tracking error, then
@@ -509,6 +559,13 @@ def run_ticks_batched(
 
                     gap_own, v_own = lead(-l_now)
                     gap_tgt, v_tgt = lead(tgt_k - l_now)
+                    if lights is not None:
+                        # a red stop line is a stationary lead for the IDM
+                        # (_advance_npcs' lights branch)
+                        t_abs_n = t0_v + (i + 1).astype(jnp.float32) * dt
+                        d_light = red_stop_dist(xk, yk, ck, sk, t_abs_n)
+                        v_tgt = jnp.where(d_light < gap_tgt, 0.0, v_tgt)
+                        gap_tgt = jnp.minimum(gap_tgt, d_light)
                     left_free = corridor_free(LANE_W - l_now)
                     right_free = corridor_free(-LANE_W - l_now)
                     own_free = corridor_free(-l_now)
@@ -668,10 +725,11 @@ def run_ticks_batched(
     tgt_in = jnp.stack(
         [target.x, target.y, target.theta, target.kappa], axis=0
     ).transpose(0, 2, 1).astype(jnp.float32)               # (4, n_path, B)
-    flag_in = jnp.stack(
-        [feas.astype(jnp.float32), plan_ok.astype(jnp.float32),
-         arrived0.astype(jnp.float32)]
-    )                                                      # (3, B)
+    flag_rows = [feas.astype(jnp.float32), plan_ok.astype(jnp.float32),
+                 arrived0.astype(jnp.float32)]
+    if lights is not None:
+        flag_rows.append(t0_cycle.astype(jnp.float32))
+    flag_in = jnp.stack(flag_rows)                         # (3|4, B)
     dest_in = jnp.stack([dest_x, dest_y]).astype(jnp.float32)
 
     def bspec(shape):
@@ -688,9 +746,10 @@ def run_ticks_batched(
         ego_in, pid_buffer.T.astype(jnp.float32), pmisc_in, obs_in,
         traj_speed.T.astype(jnp.float32), tgt_in, flag_in, dest_in,
     ]
+    n_flag = 4 if lights is not None else 3
     in_specs = [
         bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K)),
-        bspec((n_dense,)), bspec((4, n_path)), bspec((3,)), bspec((2,)),
+        bspec((n_dense,)), bspec((4, n_path)), bspec((n_flag,)), bspec((2,)),
     ]
     out_specs = [bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K))]
     out_shapes = [
@@ -711,6 +770,13 @@ def run_ticks_batched(
         in_specs += [bspec((3, n_gp)), bspec((4, K))]
         out_specs.append(bspec((3, K)))
         out_shapes.append(jax.ShapeDtypeStruct((3, K, B), jnp.float32))
+    if lights is not None:
+        tl_in = jnp.stack(
+            [tl.x, tl.y, tl.period, tl.offset, tl.green_frac,
+             tl.valid.astype(jnp.float32)], axis=0
+        ).transpose(0, 2, 1).astype(jnp.float32)           # (6, L, B)
+        in_arrays.append(tl_in)
+        in_specs.append(bspec((6, L_n)))
     out_specs.append(bspec((1,)))
     out_shapes.append(jax.ShapeDtypeStruct((1, B), jnp.float32))
     out_specs += [out_tick] * 8

@@ -212,11 +212,15 @@ def simulate(
                 cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
             )
             tspeed = jnp.full((nd,), target_speed / 3.6)
+            lights_k = (
+                lights if lights is not None else tl_mod.TrafficLights.none()
+            )
             (ego, buf_n, cnt_n, last_n, obs, arrived, metrics) = (
                 _tick_dispatch(cfg)(
                     carry.ego, cs.pid.buffer, cs.pid.count,
                     cs.pid.last_error, carry.obstacles, tspeed, tq, target,
                     carry.arrived, res.feasible, plan_ok, dest_x, dest_y,
+                    lights_k, t0,
                 )
             )
             cs = vehicle.ControllerState(
@@ -504,13 +508,16 @@ def simulate_traffic(
                     cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
                 )
                 tspeed = jnp.full((nd,), target_speed / 3.6)
+            lights_k = (
+                lights if lights is not None else tl_mod.TrafficLights.none()
+            )
             (ego, buf_n, cnt_n, last_n, obs, npc_idx, lane_off, lane_tgt,
              arrived, metrics) = _traffic_tick_dispatch(cfg, behavior)(
                 lc.ego, cs.pid.buffer, cs.pid.count, cs.pid.last_error,
                 lc.obstacles, carry.npc_path_index,
                 carry.npc_lane.offset, carry.npc_lane.target, agent_slot,
                 tspeed, ttime, target, lc.arrived, res.feasible, plan_ok,
-                dest_x, dest_y, global_path,
+                dest_x, dest_y, global_path, lights_k, t0,
             )
             cs = vehicle.ControllerState(
                 pid_mod.PIDState(buf_n, cnt_n, last_n), cs.mpc
@@ -583,16 +590,19 @@ def NPCStateAt(obs: Obstacles, npc_idx: Array, k: Array):
 
 def _full_ticks_base(
     ego, pid_buf, pid_cnt, pid_last, obs, tspeed, ttime, target,
-    arrived, feas, plan_ok, dest_x, dest_y, cfg: EMConfig,
+    arrived, feas, plan_ok, dest_x, dest_y, lights, t0, cfg: EMConfig,
 ):
-    """One plan cycle's tick loop (lights-free), unbatched XLA scan.
+    """One plan cycle's tick loop, unbatched XLA scan.
 
     The semantic definition behind the Pallas tick kernel
     (``ops/tick_pallas.py``) — same body as ``simulate_full``'s inline
-    scan with ``lights=None``. Returns
+    scan. ``lights`` is always a TrafficLights struct; with no valid slot
+    the red-light cap is +inf and the loop reduces exactly to the
+    lights-free one (``t0`` is the cycle's absolute start time). Returns
     (ego', pid', obs', arrived', TickMetrics(plan_every, ...))."""
     from emplanner_carla_tpu.control import pid as pid_mod
     from emplanner_carla_tpu.ops import interp as interp_ops
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
 
     lp = cfg.loop
     tick_dt = cfg.plant.dt
@@ -615,6 +625,9 @@ def _full_ticks_base(
         lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
         d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
         v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        v_cap = jnp.minimum(
+            v_cap, tl_mod.red_light_cap(ego, lights, t0 + t_rel)
+        )
         tick_target_kmh = 3.6 * jnp.minimum(plan_speed, v_cap)
 
         steer, throttle, brake, cs = vehicle.run_step(
@@ -663,10 +676,10 @@ def _tick_dispatch(cfg: EMConfig):
 
     @custom_vmap
     def f(ego, pid_buf, pid_cnt, pid_last, obs, tspeed, ttime, target,
-          arrived, feas, plan_ok, dest_x, dest_y):
+          arrived, feas, plan_ok, dest_x, dest_y, lights, t0):
         return _full_ticks_base(
             ego, pid_buf, pid_cnt, pid_last, obs, tspeed, ttime, target,
-            arrived, feas, plan_ok, dest_x, dest_y, cfg,
+            arrived, feas, plan_ok, dest_x, dest_y, lights, t0, cfg,
         )
 
     @f.def_vmap
@@ -680,7 +693,7 @@ def _tick_dispatch(cfg: EMConfig):
             jax.tree.map(bcast, a, ab) for a, ab in zip(args, in_batched)
         )
         (ego, pid_buf, pid_cnt, pid_last, obs, tspeed, ttime, target,
-         arrived, feas, plan_ok, dest_x, dest_y) = args
+         arrived, feas, plan_ok, dest_x, dest_y, lights, t0) = args
         use_pallas = (
             jax.default_backend() == "tpu"
             and axis_size % tick_pallas.BLK == 0
@@ -690,6 +703,7 @@ def _tick_dispatch(cfg: EMConfig):
                 tick_pallas.run_ticks_batched(
                     ego, pid_buf, pid_cnt, pid_last, obs, tspeed, target,
                     arrived, feas, plan_ok, dest_x, dest_y, cfg,
+                    lights=(lights, t0),
                 )
             )
             metrics = TickMetrics(
@@ -718,9 +732,12 @@ def _tick_kernel_eligible(cfg: EMConfig, lights) -> bool:
     # 143.9k (kernel) vs 142.7k (XLA) on the MPC+dynamic full-EM config at
     # batch 4096. Equivalence across all four controller x plant pairs is
     # pinned by tests/test_tick_pallas.py interpret-mode runs.
+    # (lights no longer exclude the kernel: the red-light cap and the
+    # NPCs' stop-line leads are computed in-kernel; `lights` stays in the
+    # signature for call-site symmetry and future gating)
+    del lights
     return (
-        lights is None
-        and cfg.control.kind in ("LQR", "MPC")
+        cfg.control.kind in ("LQR", "MPC")
         and not cfg.control.raw_heading_error  # kernel implements sin() only
         and cfg.plant.kind in ("kinematic", "dynamic")
         and cfg.plant.substeps == 1
@@ -730,11 +747,12 @@ def _tick_kernel_eligible(cfg: EMConfig, lights) -> bool:
 def _traffic_ticks_base(
     ego, pid_buf, pid_cnt, pid_last, obs, npc_idx, lane_off, lane_tgt,
     agent_slot, tspeed, ttime, target, arrived, feas, plan_ok,
-    dest_x, dest_y, global_path, cfg: EMConfig, behavior: str,
+    dest_x, dest_y, global_path, lights, t0, cfg: EMConfig, behavior: str,
 ):
-    """One traffic plan-cycle's tick loop (lights-free), unbatched XLA scan:
+    """One traffic plan-cycle's tick loop, unbatched XLA scan:
     ``_full_ticks_base``'s ego tick + the NPC agent world model
     (``_advance_npcs``) in place of constant-velocity obstacle advance.
+    ``lights`` is always a TrafficLights struct (none() = lights-free).
 
     The semantic definition behind the traffic branch of the Pallas tick
     kernel (``ops/tick_pallas.py`` with ``traffic=...``). Returns
@@ -743,6 +761,7 @@ def _traffic_ticks_base(
     from emplanner_carla_tpu.control import pid as pid_mod
     from emplanner_carla_tpu.ops import interp as interp_ops
     from emplanner_carla_tpu.sim import npc as npc_mod
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
 
     lp = cfg.loop
     tick_dt = cfg.plant.dt
@@ -753,6 +772,7 @@ def _traffic_ticks_base(
     def control_tick(carry, tick_idx):
         ego, cs, obs, npc_idx, lane, arrived = carry
         t_rel = (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
+        t_abs = t0 + t_rel
         w = interp_ops.uniform_hat(t_rel[None], ttime[0], t_dx, nd)
         plan_speed = jnp.sum(w[0] * tspeed)
         plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
@@ -766,6 +786,7 @@ def _traffic_ticks_base(
         lead = obs.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
         d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
         v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
+        v_cap = jnp.minimum(v_cap, tl_mod.red_light_cap(ego, lights, t_abs))
         tick_target_kmh = 3.6 * jnp.minimum(plan_speed, v_cap)
 
         steer, throttle, brake, cs = vehicle.run_step(
@@ -781,7 +802,7 @@ def _traffic_ticks_base(
         ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
         obs, npc_idx, lane = _advance_npcs(
             ego, obs, npc_idx, lane, tick_dt, global_path, agent_slot,
-            preset, cfg.vehicle,
+            preset, cfg.vehicle, lights=lights, t_abs=t_abs,
         )
 
         d_obs = jnp.hypot(obs.x - ego.x, obs.y - ego.y)
@@ -817,11 +838,11 @@ def _traffic_tick_dispatch(cfg: EMConfig, behavior: str):
     @custom_vmap
     def f(ego, pid_buf, pid_cnt, pid_last, obs, npc_idx, lane_off, lane_tgt,
           agent_slot, tspeed, ttime, target, arrived, feas, plan_ok,
-          dest_x, dest_y, global_path):
+          dest_x, dest_y, global_path, lights, t0):
         return _traffic_ticks_base(
             ego, pid_buf, pid_cnt, pid_last, obs, npc_idx, lane_off,
             lane_tgt, agent_slot, tspeed, ttime, target, arrived, feas,
-            plan_ok, dest_x, dest_y, global_path, cfg, behavior,
+            plan_ok, dest_x, dest_y, global_path, lights, t0, cfg, behavior,
         )
 
     @f.def_vmap
@@ -836,7 +857,7 @@ def _traffic_tick_dispatch(cfg: EMConfig, behavior: str):
         )
         (ego, pid_buf, pid_cnt, pid_last, obs, npc_idx, lane_off, lane_tgt,
          agent_slot, tspeed, ttime, target, arrived, feas, plan_ok,
-         dest_x, dest_y, global_path) = args
+         dest_x, dest_y, global_path, lights, t0) = args
         use_pallas = (
             jax.default_backend() == "tpu"
             and axis_size % tick_pallas.BLK == 0
@@ -848,6 +869,7 @@ def _traffic_tick_dispatch(cfg: EMConfig, behavior: str):
                 arrived, feas, plan_ok, dest_x, dest_y, cfg,
                 traffic=(global_path, npc_idx, lane_off, lane_tgt,
                          agent_slot, behavior),
+                lights=(lights, t0),
             )
             metrics = TickMetrics(
                 md["x"], md["y"], md["speed_kmh"], md["lateral_err"],
@@ -962,12 +984,15 @@ def simulate_full(
             # when unbatched / off-TPU) — see _tick_dispatch
             from emplanner_carla_tpu.control import pid as pid_mod
 
+            lights_k = (
+                lights if lights is not None else tl_mod.TrafficLights.none()
+            )
             (ego, buf_n, cnt_n, last_n, obs, arrived, metrics) = (
                 _tick_dispatch(cfg)(
                     carry.ego, cs.pid.buffer, cs.pid.count,
                     cs.pid.last_error, carry.obstacles, traj.speed,
                     traj.time, target, carry.arrived, res.path.feasible,
-                    plan_ok, dest_x, dest_y,
+                    plan_ok, dest_x, dest_y, lights_k, t0,
                 )
             )
             cs = vehicle.ControllerState(

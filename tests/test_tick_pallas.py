@@ -63,9 +63,16 @@ def test_tick_kernel_matches_scan(ctrl, plant_kind):
         arrived, feas, plan_ok, dest_x, dest_y,
     )
 
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+
+    lights_none = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        tl_mod.TrafficLights.none(),
+    )
+    t0 = jnp.zeros((B,))
     ref = jax.vmap(
         lambda *a: closed_loop._full_ticks_base(*a, cfg)
-    )(*args)
+    )(*args, lights_none, t0)
 
     tick_pallas.run_ticks_batched._interpret = True
     try:
@@ -101,6 +108,80 @@ def test_tick_kernel_matches_scan(ctrl, plant_kind):
     np.testing.assert_array_equal(
         np.asarray(md["feasible"]), np.asarray(met_r.feasible)
     )
+
+
+def test_tick_kernel_matches_scan_with_lights():
+    """The kernel's in-kernel red-light cap vs the XLA base with an ACTIVE
+    red light ahead (mod-phase gating + stop-line corridor math both
+    in-kernel)."""
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+
+    base = EMConfig()
+    cfg = EMConfig(
+        loop=dataclasses.replace(base.loop, plan_every=25, n_plans=1),
+    )
+    B = tick_pallas.BLK
+    scs = scenario.batch_scenarios(jax.random.PRNGKey(5), B, cfg, n_path=96)
+
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.planner import em_planner
+
+    def plan(gp, ego, obstacles):
+        mi = frenet.nearest_index(ego.x, ego.y, gp)
+        res = em_planner.plan_full_cycle(gp, ego, obstacles, mi, cfg)
+        return res.path.target, res.trajectory, res.path.feasible
+
+    target, traj, feas = jax.jit(jax.vmap(plan))(
+        scs.global_path, scs.ego0, scs.obstacles
+    )
+    # a red light 12 m ahead of each ego along its initial heading
+    # (red for the whole 25-tick horizon: period 100, green_frac 0)
+    lx = scs.ego0.x + 12.0 * jnp.cos(scs.ego0.phi)
+    ly = scs.ego0.y + 12.0 * jnp.sin(scs.ego0.phi)
+    zeros = jnp.zeros((B,))
+    lights = tl_mod.TrafficLights(
+        jnp.stack([lx, lx], 1), jnp.stack([ly, ly], 1),
+        jnp.full((B, 2), 100.0), jnp.zeros((B, 2)),
+        jnp.zeros((B, 2)),
+        jnp.stack([jnp.ones((B,), bool), jnp.zeros((B,), bool)], 1),
+    )
+    t0 = zeros + 1.0
+
+    n_buf = cfg.control.pid_buffer
+    pid_buf = jnp.zeros((B, n_buf))
+    pid_cnt = jnp.zeros((B,), jnp.int32)
+    pid_last = jnp.zeros((B,))
+    arrived = jnp.zeros((B,), bool)
+    plan_ok = jnp.ones((B,), bool)
+    dest_x = scs.global_path.x[:, -1]
+    dest_y = scs.global_path.y[:, -1]
+    args = (
+        scs.ego0, pid_buf, pid_cnt, pid_last, scs.obstacles,
+        jnp.nan_to_num(traj.speed), jnp.nan_to_num(traj.time), target,
+        arrived, feas, plan_ok, dest_x, dest_y,
+    )
+    ref = jax.vmap(
+        lambda *a: closed_loop._full_ticks_base(*a, cfg)
+    )(*args, lights, t0)
+
+    tick_pallas.run_ticks_batched._interpret = True
+    try:
+        got = tick_pallas.run_ticks_batched(
+            args[0], args[1], args[2], args[3], args[4], args[5], args[7],
+            args[8], args[9], args[10], args[11], args[12], cfg,
+            lights=(lights, t0),
+        )
+    finally:
+        tick_pallas.run_ticks_batched._interpret = False
+
+    (ego_r, buf_r, cnt_r, last_r, obs_r, arr_r, met_r) = ref
+    (ego_g, buf_g, cnt_g, last_g, obs_g, arr_g, md) = got
+    # the light actually bit: egos brake below their no-light speeds
+    assert float(jnp.mean(ego_r.vx)) < float(jnp.mean(scs.ego0.vx))
+    np.testing.assert_allclose(ego_g.x, ego_r.x, atol=1e-3)
+    np.testing.assert_allclose(ego_g.vx, ego_r.vx, atol=1e-3)
+    np.testing.assert_allclose(buf_g, buf_r, atol=1e-3)
+    np.testing.assert_allclose(md["x"], met_r.x, atol=1e-3)
 
 
 def test_traffic_tick_kernel_matches_scan():
@@ -157,9 +238,16 @@ def test_traffic_tick_kernel_matches_scan():
         dest_x, dest_y, scs.global_path,
     )
 
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+
+    lights_none = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        tl_mod.TrafficLights.none(),
+    )
+    t0 = jnp.zeros((B,))
     ref = jax.vmap(
         lambda *a: closed_loop._traffic_ticks_base(*a, cfg, "normal")
-    )(*args)
+    )(*args, lights_none, t0)
 
     tick_pallas.run_ticks_batched._interpret = True
     try:
