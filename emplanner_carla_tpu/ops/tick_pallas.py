@@ -182,10 +182,12 @@ def run_ticks_batched(
         LANE_RATE = float(npc_mod.LANE_CHANGE_RATE)
 
     if lights is not None:
+        from emplanner_carla_tpu.sim.traffic_light import (
+            STOP_HEADWAY, STOP_LAT_GATE, STOP_STANDOFF,
+        )
+
         tl, t0_cycle = lights
         L_n = tl.x.shape[1]
-        STOP_STANDOFF = 4.0   # traffic_light.STOP_STANDOFF
-        STOP_HEADWAY = 1.2    # traffic_light.STOP_HEADWAY
 
     n_consts = len(consts_np)
 
@@ -241,7 +243,9 @@ def run_ticks_batched(
                 dyl = tl_y - py
                 dl_long = dxl * ux_d + dyl * uy_d
                 dl_lat = -dxl * uy_d + dyl * ux_d
-                gate = red & (dl_long > 0.0) & (jnp.abs(dl_lat) < 3.0)
+                gate = red & (dl_long > 0.0) & (
+                    jnp.abs(dl_lat) < STOP_LAT_GATE
+                )
                 return jnp.min(
                     jnp.where(gate, dl_long, jnp.inf), axis=0, keepdims=True
                 )
@@ -310,7 +314,16 @@ def run_ticks_batched(
             v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
             if lights is not None:
                 t_abs = t0_v + (i + 1).astype(jnp.float32) * dt
-                d_stop = red_stop_dist(x, y, ux, uy, t_abs)
+                # traffic_light.stop_distance's direction falls back to the
+                # HEADING below 0.5 m/s — a stopped ego's velocity direction
+                # is 0/eps = (0, 0), which would zero dl_long and make every
+                # red light invisible (the ego would then creep past the
+                # line; caught in review, regression-tested in
+                # test_tick_pallas' slow-approach lights case)
+                slow_e = spd < 0.5
+                ul_x = jnp.where(slow_e, cphi, ux)
+                ul_y = jnp.where(slow_e, sphi, uy)
+                d_stop = red_stop_dist(x, y, ul_x, ul_y, t_abs)
                 v_cap = jnp.minimum(
                     v_cap,
                     jnp.maximum((d_stop - STOP_STANDOFF) / STOP_HEADWAY, 0.0),

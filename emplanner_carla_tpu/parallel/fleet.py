@@ -75,8 +75,9 @@ def fleet_simulate(
         # feasible is constant within a plan cycle: count infeasible cycles
         # from each cycle's first tick (metrics are (b, n_plans, plan_every))
         infeasible = jnp.sum(1.0 - metrics.feasible[..., 0].astype(jnp.float32))
-        # valid ST segments the st_top_m compression dropped (constant
-        # within a cycle: first ticks only; always 0 for path-only loops)
+        # planner-compression drops (constant within a cycle: first ticks
+        # only): ST segments cut by st_top_m (full loops) + DP obstacle
+        # slots cut by dp_top_m (all loops, incl. path-only)
         seg_dropped = jnp.sum(
             metrics.segments_dropped[..., 0].astype(jnp.float32)
         )

@@ -104,8 +104,12 @@ def update_tracks(
     )
     coast = tracks.valid & ~claimed & (tracks.misses < MAX_MISSES)
     # compact the k-th coasting track into the k-th invalid detection slot
-    # (both ranks via cumsum; a coasting track drops only if there are
-    # more coasters than free slots — can't happen: slots are shared)
+    # (ranks via cumsum). Capacity trade-off: when fresh detections claim
+    # more slots than they matched tracks (new objects appearing while
+    # others occlude), coasters can outnumber the free slots and the
+    # overflow is dropped even under the miss budget — detections always
+    # win slots over memories; with D slots and <= D true objects in
+    # frame this only bites transiently during identity churn.
     free = ~det.valid
     coast_rank = jnp.cumsum(coast.astype(jnp.int32)) - 1      # rank among coasters
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1        # rank among free slots

@@ -23,6 +23,9 @@ from emplanner_carla_tpu.types import Array, EgoState
 
 STOP_STANDOFF = 4.0   # metres kept to the stop line when stopped
 STOP_HEADWAY = 1.2    # seconds of time headway on approach
+STOP_LAT_GATE = 3.0   # |lateral offset| of a stop line that affects us
+# (these are trace-time constants shared with the Pallas tick kernel —
+# ops/tick_pallas.py imports them; edit here, both paths move together)
 
 
 class TrafficLights(NamedTuple):
@@ -62,7 +65,7 @@ def stop_distance(ego: EgoState, lights: TrafficLights, t: Array) -> Array:
     d_long = dx * ux + dy * uy
     d_lat = -dx * uy + dy * ux
     red = lights.valid & ~is_green(lights, t)
-    gating = red & (d_long > 0.0) & (jnp.abs(d_lat) < 3.0)
+    gating = red & (d_long > 0.0) & (jnp.abs(d_lat) < STOP_LAT_GATE)
     return jnp.min(jnp.where(gating, d_long, jnp.inf))
 
 

@@ -184,6 +184,78 @@ def test_tick_kernel_matches_scan_with_lights():
     np.testing.assert_allclose(md["x"], met_r.x, atol=1e-3)
 
 
+def test_tick_kernel_holds_red_light_when_stopped():
+    """Review-caught regression: a (near-)stopped ego's velocity direction
+    is ~(0, 0), so without stop_distance's slow-speed heading fallback the
+    kernel's red-light gate sees dl_long = 0 and the light vanishes — the
+    ego then creeps past the line. Ego starts at crawl speed right at the
+    standoff of a long red; the kernel must hold it there like the base."""
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+    from emplanner_carla_tpu.types import EgoState, Obstacles, Path
+
+    base = EMConfig()
+    cfg = EMConfig(
+        loop=dataclasses.replace(base.loop, plan_every=100, n_plans=1),
+    )
+    B = tick_pallas.BLK
+    n = 64
+    gp1 = Path(jnp.arange(n) * 2.0, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    z = jnp.zeros(())
+    # crawling (0.3 m/s < the 0.5 slow gate) 4.5 m before the stop line
+    ego1 = EgoState(jnp.float32(20.0), z, z, jnp.float32(0.3), z, z, z, z, z)
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    obs1 = Obstacles(*(jnp.zeros(K),) * 4, jnp.zeros(K, bool))
+    gp, ego0, obs = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), (gp1, ego1, obs1)
+    )
+    lights = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        tl_mod.TrafficLights(
+            jnp.asarray([24.5, 0.0]), jnp.asarray([0.0, 0.0]),
+            jnp.asarray([1000.0, 1.0]), jnp.asarray([0.0, 0.0]),
+            jnp.asarray([0.0, 1.0]), jnp.asarray([True, False]),
+        ),
+    )
+    t0 = jnp.zeros((B,))
+    target = gp
+    tspeed = jnp.full((B, cfg.speed.n_dense), 50.0 / 3.6)
+    tq = jnp.broadcast_to(
+        jnp.arange(cfg.speed.n_dense, dtype=jnp.float32)
+        * (cfg.speed.n_t * cfg.speed.t_step / (cfg.speed.n_dense - 1)),
+        (B, cfg.speed.n_dense),
+    )
+    n_buf = cfg.control.pid_buffer
+    args = (
+        ego0, jnp.zeros((B, n_buf)), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,)), obs, tspeed, tq, target,
+        jnp.zeros((B,), bool), jnp.ones((B,), bool), jnp.ones((B,), bool),
+        gp.x[:, -1], gp.y[:, -1],
+    )
+    ref = jax.vmap(
+        lambda *a: closed_loop._full_ticks_base(*a, cfg)
+    )(*args, lights, t0)
+
+    tick_pallas.run_ticks_batched._interpret = True
+    try:
+        got = tick_pallas.run_ticks_batched(
+            args[0], args[1], args[2], args[3], args[4], args[5], args[7],
+            args[8], args[9], args[10], args[11], args[12], cfg,
+            lights=(lights, t0),
+        )
+    finally:
+        tick_pallas.run_ticks_batched._interpret = False
+
+    ego_r, ego_g = ref[0], got[0]
+    # base holds the ego short of the line... and so must the kernel
+    assert float(jnp.max(ego_r.x)) < 24.5
+    assert float(jnp.max(ego_g.x)) < 24.5, (
+        f"kernel crept to x={float(jnp.max(ego_g.x)):.2f} past the hold"
+    )
+    np.testing.assert_allclose(ego_g.x, ego_r.x, atol=1e-3)
+    np.testing.assert_allclose(ego_g.vx, ego_r.vx, atol=1e-3)
+
+
 def test_traffic_tick_kernel_matches_scan():
     """The kernel's agent-traffic branch (in-register NPC agents: pure
     pursuit on the global path + IDM + lane decisions) vs the XLA scan base
