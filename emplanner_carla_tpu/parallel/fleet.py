@@ -43,17 +43,27 @@ def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
 
 
 def fleet_simulate(
-    scenarios: Scenario, cfg: EMConfig, mesh: Mesh, full: bool = False
+    scenarios: Scenario, cfg: EMConfig, mesh: Mesh, full: bool = False,
+    traffic: bool = False, behavior: str = "normal",
 ):
     """Run the closed loop for a sharded scenario batch.
 
     ``full=True`` runs the complete EM loop (path + speed planning,
-    ``simulate_full``); otherwise the path-only loop. Returns
-    (metrics, aggregates): per-scenario metrics (sharded like the input)
-    and fleet-level aggregates reduced across the mesh with psum —
-    lateral RMSE, mean speed, collision count, scenario count.
+    ``simulate_full``); otherwise the path-only loop. ``traffic=True``
+    instead runs the agent-traffic loop (``simulate_traffic`` — NPC slots
+    drive the route with the IDM/pure-pursuit agent, composing with
+    ``full``). Returns (metrics, aggregates): per-scenario metrics
+    (sharded like the input) and fleet-level aggregates reduced across
+    the mesh with psum — lateral RMSE, mean speed, collision count,
+    scenario count.
     """
-    sim = closed_loop.simulate_full if full else closed_loop.simulate
+    if traffic:
+        def sim(gp, e, o, cfg):
+            return closed_loop.simulate_traffic(
+                gp, e, o, cfg, behavior=behavior, full=full
+            )
+    else:
+        sim = closed_loop.simulate_full if full else closed_loop.simulate
     batched = jax.vmap(lambda gp, e, o: sim(gp, e, o, cfg))
 
     @partial(
