@@ -531,6 +531,45 @@ def test_yield_infeasible_relaxation_end_to_end():
     assert float(d_cross.min()) > 1.5
 
 
+def test_dp_obstacle_compression_surfaces_drops():
+    """dp_top_m's observability contract (mirror of the st_top_m boundary
+    test): with MORE in-window obstacles than the compression keeps — 8
+    gated statics packed into the 90 m DP horizon plus a closing lead NPC
+    whose virtual-obstacle conversion adds 4 points = 12 — the drop count
+    must surface through summarize()/TickMetrics, and the loop must stay
+    collision-free on the compressed set."""
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=3)
+    )
+    assert cfg.path.dp_top_m == 8
+    n = 200
+    s = jnp.arange(n) * 2.0
+    gp = Path(s, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    d0 = cfg.n_static_obs
+    # 8 parked cars alternating sides every 9 m from s=20 (all inside the
+    # 30 m static gate of at least the later cycles and the 96 m window)
+    sx = 20.0 + 9.0 * np.arange(8)
+    sy = np.where(np.arange(8) % 2 == 0, 2.4, -2.4)
+    ox = jnp.zeros(K).at[:8].set(jnp.asarray(sx, jnp.float32))
+    oy = jnp.zeros(K).at[:8].set(jnp.asarray(sy, jnp.float32))
+    # slow lead NPC dead ahead: closing -> 4 virtual obstacle points
+    ox = ox.at[d0].set(30.0)
+    ovx = jnp.zeros(K).at[d0].set(3.0)
+    valid = jnp.ones(K, bool).at[d0 + 1 :].set(False)
+    obstacles = Obstacles(ox, oy, ovx, jnp.zeros(K), valid)
+    z = jnp.zeros(())
+    ego0 = EgoState(
+        gp.x[0], gp.y[0], gp.theta[0], jnp.asarray(8.0, jnp.float32),
+        z, z, z, z, z,
+    )
+    carry, metrics = closed_loop.simulate(gp, ego0, obstacles, cfg)
+    summ = closed_loop.summarize(metrics)
+    assert int(summ["segments_dropped"]) > 0, "compression never engaged"
+    assert not bool(summ["collided"])
+    assert bool(np.isfinite(np.asarray(metrics.lateral_err)).all())
+
+
 def test_red_light_stop_matches_oracle():
     """Traffic-light parity (previously behavioral-only): ego approaches a
     red light 40 m ahead, brakes to a stop at the line, waits for green at
