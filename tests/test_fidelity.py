@@ -374,18 +374,24 @@ def _traffic_scenario(cfg):
     return scenario.Scenario(gp, ego0, obstacles)
 
 
-@pytest.mark.parametrize("full", [False, True])
-def test_simulate_traffic_matches_oracle(full):
+@pytest.mark.parametrize(
+    "behavior,full",
+    [("normal", False), ("normal", True),
+     ("cautious", False), ("aggressive", False)],
+)
+def test_simulate_traffic_matches_oracle(behavior, full):
     """Agent-traffic loop (round-2 verdict item 3): the ego overtakes an
     accelerating IDM/pure-pursuit NPC on its own route — both the path-only
-    and the full-EM variants must track the float64 oracle, which runs the
-    independent loop-based agent model (oracle/npc_np.py)."""
+    and the full-EM variants, across behavior presets (different IDM
+    headways/accels and lane-change pressure gates), must track the
+    float64 oracle, which runs the independent loop-based agent model
+    (oracle/npc_np.py)."""
     cfg = EMConfig(
         loop=dataclasses.replace(EMConfig().loop, n_plans=N_PLANS)
     )
     sc = _traffic_scenario(cfg)
     carry, metrics = closed_loop.simulate_traffic(
-        sc.global_path, sc.ego0, sc.obstacles, cfg, behavior="normal",
+        sc.global_path, sc.ego0, sc.obstacles, cfg, behavior=behavior,
         full=full,
     )
     jx = np.asarray(metrics.x).reshape(-1)
@@ -393,12 +399,14 @@ def test_simulate_traffic_matches_oracle(full):
     g, ego0, statics, dynamics = unpack_scenario(sc)
     assert statics == [] and len(dynamics) == 2
     ox, oy = closed_loop_np.simulate_traffic(
-        g, ego0, statics, dynamics, cfg, behavior="normal",
+        g, ego0, statics, dynamics, cfg, behavior=behavior,
         n_plans=N_PLANS, full=full,
     )
     assert len(ox) == len(jx)
     rmse = lateral_rmse(jx, jy, ox, oy)
-    assert rmse <= 0.05, f"traffic(full={full}) RMSE vs oracle {rmse:.3f} m"
+    assert rmse <= 0.05, (
+        f"traffic({behavior}, full={full}) RMSE vs oracle {rmse:.3f} m"
+    )
     per_tick = np.hypot(jx - ox, jy - oy)
     assert float(np.max(per_tick)) < 1.0, (
         f"longitudinal divergence {np.max(per_tick):.2f} m"
