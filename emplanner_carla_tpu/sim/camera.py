@@ -101,11 +101,19 @@ def render(
     obs: Obstacles,
     cfg: CameraConfig = CameraConfig(),
     is_walker: Array | None = None,
+    road_classes: bool = True,
 ) -> CameraFrame:
     """Render one camera frame from the current world state.
 
     ``is_walker``: optional (K,) bool mask selecting walker-sized obstacle
     slots (crossing pedestrians); the rest render as vehicles.
+    ``road_classes=False`` labels ALL ground hits TERRAIN, skipping the
+    ROAD/TERRAIN split — the split needs a min-distance scan of every
+    ground hit against the whole centerline polyline, by far the
+    renderer's largest term (H*W*n_path distance evaluations), and
+    consumers that only react to objects (sim/pixel_loop's detector reads
+    VEHICLE/WALKER pixels + depth) get bit-identical detections without
+    it. Keep it True for HUD/semantic-segmentation uses.
     """
     H, W = cfg.height, cfg.width
     K = obs.k
@@ -127,15 +135,18 @@ def render(
 
     # --- ground plane -----------------------------------------------------
     t_ground = jnp.where(dwz < -1e-6, -cam_z / jnp.minimum(dwz, -1e-6), BIG)
-    gx = cam_x + t_ground * dwx
-    gy = cam_y + t_ground * dwy
-    # distance from the hit point to the centerline polyline (min over the
-    # path's 2 m samples — exact enough at pixel scale)
-    d2 = (gx[..., None] - global_path.x) ** 2 + (
-        gy[..., None] - global_path.y
-    ) ** 2
-    on_road = jnp.sqrt(jnp.min(d2, axis=-1)) < cfg.road_halfwidth
-    ground_cls = jnp.where(on_road, ROAD, TERRAIN)
+    if road_classes:
+        gx = cam_x + t_ground * dwx
+        gy = cam_y + t_ground * dwy
+        # distance from the hit point to the centerline polyline (min over
+        # the path's 2 m samples — exact enough at pixel scale)
+        d2 = (gx[..., None] - global_path.x) ** 2 + (
+            gy[..., None] - global_path.y
+        ) ** 2
+        on_road = jnp.sqrt(jnp.min(d2, axis=-1)) < cfg.road_halfwidth
+        ground_cls = jnp.where(on_road, ROAD, TERRAIN)
+    else:
+        ground_cls = jnp.full((H, W), TERRAIN, jnp.int32)
 
     # --- obstacle cylinders -------------------------------------------------
     radius = jnp.where(is_walker, WALKER_RADIUS, VEHICLE_RADIUS)
