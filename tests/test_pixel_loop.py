@@ -161,6 +161,28 @@ def test_batched_detection_quality():
     assert np.isfinite(np.asarray(pm.ticks.lateral_err)).all()
 
 
+def test_full_em_from_pixels_collision_free():
+    """The safety-relevant pixel mode: the COMPLETE EM cycle planned on
+    camera estimates (path + S-T speed). Measured at batch 4096 x 20
+    cycles on the TPU: 0 collisions (path-only mode grazes ~4.6%); this
+    pins the small-scale version of that result."""
+    from emplanner_carla_tpu.sim import scenario
+
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=5)
+    )
+    scs = scenario.batch_scenarios(jax.random.PRNGKey(11), 8, cfg)
+    carry, pm = jax.vmap(
+        lambda g, e, o: pixel_loop.simulate_pixels(g, e, o, cfg, CAM,
+                                                   full=True)
+    )(scs.global_path, scs.ego0, scs.obstacles)
+    coll = np.asarray(jnp.any(pm.ticks.collided, axis=(1, 2)))
+    assert not coll.any()
+    assert np.isfinite(np.asarray(pm.ticks.lateral_err)).all()
+    # the fleet actually drove (not a trivially-stopped run)
+    assert float(np.asarray(pm.ticks.speed_kmh).mean()) > 15.0
+
+
 def test_pixel_loop_vmaps():
     cfg = EMConfig(
         loop=dataclasses.replace(EMConfig().loop, n_plans=3)
