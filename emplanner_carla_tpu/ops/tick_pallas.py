@@ -301,8 +301,14 @@ def run_ticks_batched(
             cphi, sphi = jnp.cos(phi), jnp.sin(phi)
             vxw = vx * cphi - vy * sphi
             vyw = vy * cphi + vx * sphi
-            spd = jnp.maximum(jnp.sqrt(vxw * vxw + vyw * vyw), 1e-3)
-            ux, uy = vxw / spd, vyw / spd
+            spd_w = jnp.sqrt(vxw * vxw + vyw * vyw)
+            slow_e = spd_w < 0.5
+            den = jnp.where(slow_e, 1.0, jnp.maximum(spd_w, 1e-3))
+            # heading fallback below 0.5 m/s (closed_loop._motion_dir):
+            # at exact standstill the velocity direction is (0, 0) and
+            # every gate ahead would blink out for that tick
+            ux = jnp.where(slow_e, cphi, vxw / den)
+            uy = jnp.where(slow_e, sphi, vyw / den)
             dxo = ox - x
             dyo = oy - y
             d_long = dxo * ux + dyo * uy                # (K, BLK)
@@ -314,16 +320,9 @@ def run_ticks_batched(
             v_cap = jnp.maximum((d_lead - ACC_STANDOFF) / ACC_HEADWAY, 0.0)
             if lights is not None:
                 t_abs = t0_v + (i + 1).astype(jnp.float32) * dt
-                # traffic_light.stop_distance's direction falls back to the
-                # HEADING below 0.5 m/s — a stopped ego's velocity direction
-                # is 0/eps = (0, 0), which would zero dl_long and make every
-                # red light invisible (the ego would then creep past the
-                # line; caught in review, regression-tested in
-                # test_tick_pallas' slow-approach lights case)
-                slow_e = spd < 0.5
-                ul_x = jnp.where(slow_e, cphi, ux)
-                ul_y = jnp.where(slow_e, sphi, uy)
-                d_stop = red_stop_dist(x, y, ul_x, ul_y, t_abs)
+                # ux/uy already carry the slow-speed heading fallback
+                # (shared with the ACC guard above)
+                d_stop = red_stop_dist(x, y, ux, uy, t_abs)
                 v_cap = jnp.minimum(
                     v_cap,
                     jnp.maximum((d_stop - STOP_STANDOFF) / STOP_HEADWAY, 0.0),

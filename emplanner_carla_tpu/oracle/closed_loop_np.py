@@ -462,8 +462,13 @@ def _acc_cap_mps(ego, obstacle_xy):
     x, y, phi, vx, vy, om = ego
     vxw = vx * math.cos(phi) - vy * math.sin(phi)
     vyw = vy * math.cos(phi) + vx * math.sin(phi)
-    spd = max(math.hypot(vxw, vyw), 1e-3)
-    ux, uy = vxw / spd, vyw / spd
+    spd = math.hypot(vxw, vyw)
+    if spd < 0.5:
+        # heading fallback (closed_loop._motion_dir): a stopped ego must
+        # keep seeing the lead it stopped for
+        ux, uy = math.cos(phi), math.sin(phi)
+    else:
+        ux, uy = vxw / spd, vyw / spd
     d_lead = float("inf")
     for ox, oy in obstacle_xy:
         dl_ = (ox - x) * ux + (oy - y) * uy

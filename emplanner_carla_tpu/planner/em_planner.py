@@ -51,10 +51,6 @@ class PathPlanResult(NamedTuple):
     # in-window obstacle slots the dp_top_m compression dropped (int32; 0
     # whenever <= dp_top_m obstacles are relevant — the oracle keeps all)
     obs_dropped: Array = 0
-    # largest corridor slack the path QP needed (metres; > 0 = the soft
-    # corridor was violated because the tube was too narrow for the
-    # vehicle — the loops cap speed from it, see LoopConfig.slack_*)
-    corridor_slack: Array = 0.0
 
 
 def n_target(cfg: EMConfig) -> int:
@@ -157,11 +153,11 @@ def plan_path_cycle(
     l_min, l_max = path_qp.corridor(st_s, st_l, all_s, all_l, all_valid, pp)
     spacing = float(pp.sampling_res * pp.qp_downsample)
     if qp_warm is not None:
-        qp_l, qp_dl, qp_ddl, qp_slack, qp_state = path_qp.path_qp(
+        qp_l, qp_dl, qp_ddl, qp_state = path_qp.path_qp(
             l_min, l_max, l0, dl0, ddl0, pp, spacing, warm_state=qp_warm
         )
     else:
-        qp_l, qp_dl, qp_ddl, qp_slack = path_qp.path_qp(
+        qp_l, qp_dl, qp_ddl = path_qp.path_qp(
             l_min, l_max, l0, dl0, ddl0, pp, spacing
         )
         qp_state = None
@@ -171,8 +167,7 @@ def plan_path_cycle(
     target = reference_line.smooth_local_path(raw.x, raw.y, rl)
 
     return PathPlanResult(
-        target, match_index, feasible, st_s, qp_l, qp_state, obs_dropped,
-        qp_slack,
+        target, match_index, feasible, st_s, qp_l, qp_state, obs_dropped
     )
 
 

@@ -232,14 +232,17 @@ def path_qp(
     ``path_planning.py:78-219``).
 
     ds is the true station spacing (quirk Q13 fixed). Returns
-    (l, dl, ddl, slack_max) — the station values plus the LARGEST corridor
-    slack the solution needed (metres of corner-constraint violation; > 0
-    means the corridor was too narrow for the vehicle and the path cuts
-    into the nominal clearance — the closed loops derive a speed cap from
-    it) — plus the new ADMM state when ``warm_state`` is given
-    (successive replan cycles solve near-identical problems; carrying the
-    state across cycles lets the warm solve run ``cfg.warm_admm_iters``
-    total iterations instead of the cold ladder).
+    (l, dl, ddl) each (n,) — plus the new ADMM state when ``warm_state``
+    is given (successive replan cycles solve near-identical problems;
+    carrying the state across cycles lets the warm solve run
+    ``cfg.warm_admm_iters`` total iterations instead of the cold ladder).
+
+    Note on the corridor slacks (x[3n:]): they are part of the solution
+    but deliberately NOT surfaced as a "tightness" signal — the shared
+    corner slack runs 5-8 m during every NORMAL swerve because the
+    front/back lookahead rows conflict across stations mid-transition
+    (measured at batch 4096; a slack-derived speed cap was investigated
+    and rejected, see CLAUDE.md round-3 notes).
     """
     if n is None:
         n = l_min.shape[-1]
@@ -283,8 +286,6 @@ def path_qp(
 
     if warm:
         x, new_state = solve(q, l, u, warm_state)
-        return (
-            x[0:nv:3], x[1:nv:3], x[2:nv:3], jnp.max(x[nv:]), new_state
-        )
+        return x[0:nv:3], x[1:nv:3], x[2:nv:3], new_state
     x = solve(q, l, u)
-    return x[0:nv:3], x[1:nv:3], x[2:nv:3], jnp.max(x[nv:])
+    return x[0:nv:3], x[1:nv:3], x[2:nv:3]

@@ -90,6 +90,28 @@ def _sanitize(tree):
     return jax.tree.map(lambda a: jnp.nan_to_num(a), tree)
 
 
+def _motion_dir(ego: EgoState):
+    """Unit direction of travel for corridor gating — the world-velocity
+    direction, falling back to the HEADING below 0.5 m/s (the
+    perceive()/stop_distance convention). Without the fallback the
+    direction degenerates to exactly (0, 0) at exact standstill, every
+    obstacle's longitudinal offset projects to 0 and the ACC lead gate
+    re-opens for that tick. Measured severity pre-fix: mm-scale throttle
+    pulses settling at a denormal-speed equilibrium (the gate sees the
+    lead again at any v > 0) — not metres of creep — but the hold was
+    inexact, single blind ticks re-opened the throttle at every exact
+    zero crossing, and the ACC/lights/perceive direction conventions
+    disagreed. The fallback makes a held stop EXACT (cap 0 every tick,
+    zero drift; pinned by test_stopped_ego_keeps_seeing_its_lead)."""
+    vxw, vyw = ego.v_world
+    spd = jnp.hypot(vxw, vyw)
+    slow = spd < 0.5
+    den = jnp.where(slow, 1.0, jnp.maximum(spd, 1e-3))
+    ux = jnp.where(slow, jnp.cos(ego.phi), vxw / den)
+    uy = jnp.where(slow, jnp.sin(ego.phi), vyw / den)
+    return ux, uy
+
+
 def _lateral_error(ego: EgoState, target: Path) -> Array:
     """Signed distance to the target path at the current pose (per tick).
 
@@ -144,9 +166,7 @@ def simulate(
         # until the S-T speed planner (test_10's intent) takes over, this
         # guard provides the yield behavior, and it remains as a safety
         # layer underneath the speed planner.
-        vxw, vyw = ego.v_world
-        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
-        ux, uy = vxw / spd, vyw / spd
+        ux, uy = _motion_dir(ego)
         dxo, dyo = obs.x - ego.x, obs.y - ego.y
         d_long = dxo * ux + dyo * uy
         d_lat = -dxo * uy + dyo * ux
@@ -418,9 +438,7 @@ def simulate_traffic(
         (ego, cs, obs, npc_idx, lane, traj, target, arrived, feas, plan_ok,
          t0) = carry
         t_abs = t0 + (tick_idx.astype(jnp.float32) + 1.0) * tick_dt
-        vxw, vyw = ego.v_world
-        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
-        ux, uy = vxw / spd, vyw / spd
+        ux, uy = _motion_dir(ego)
         dxo, dyo = obs.x - ego.x, obs.y - ego.y
         d_long = dxo * ux + dyo * uy
         d_lat = -dxo * uy + dyo * ux
@@ -616,9 +634,7 @@ def _full_ticks_base(
         plan_speed = jnp.sum(w[0] * tspeed)
         plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
 
-        vxw, vyw = ego.v_world
-        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
-        ux, uy = vxw / spd, vyw / spd
+        ux, uy = _motion_dir(ego)
         dxo, dyo = obs.x - ego.x, obs.y - ego.y
         d_long = dxo * ux + dyo * uy
         d_lat = -dxo * uy + dyo * ux
@@ -777,9 +793,7 @@ def _traffic_ticks_base(
         plan_speed = jnp.sum(w[0] * tspeed)
         plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
 
-        vxw, vyw = ego.v_world
-        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
-        ux, uy = vxw / spd, vyw / spd
+        ux, uy = _motion_dir(ego)
         dxo, dyo = obs.x - ego.x, obs.y - ego.y
         d_long = dxo * ux + dyo * uy
         d_lat = -dxo * uy + dyo * ux
@@ -921,9 +935,7 @@ def simulate_full(
         plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
 
         # safety guard (see simulate())
-        vxw, vyw = ego.v_world
-        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
-        ux, uy = vxw / spd, vyw / spd
+        ux, uy = _motion_dir(ego)
         dxo, dyo = obs.x - ego.x, obs.y - ego.y
         d_long = dxo * ux + dyo * uy
         d_lat = -dxo * uy + dyo * ux

@@ -200,59 +200,6 @@ def simulate_pixels(
     if is_walker is None:
         is_walker = jnp.zeros(obstacles0.k, bool)
 
-    def control_tick(carry, tick_idx):
-        ego, cs, obs_true, est, traj, target, arrived, feas, plan_ok = carry
-        # ACC guard on the *estimated* lead (closed_loop.simulate's guard,
-        # driven by perception instead of truth)
-        vxw, vyw = ego.v_world
-        spd = jnp.maximum(jnp.hypot(vxw, vyw), 1e-3)
-        ux, uy = vxw / spd, vyw / spd
-        dxo, dyo = est.x - ego.x, est.y - ego.y
-        d_long = dxo * ux + dyo * uy
-        d_lat = -dxo * uy + dyo * ux
-        lead = est.valid & (d_long > 0.0) & (jnp.abs(d_lat) < 2.0)
-        d_lead = jnp.min(jnp.where(lead, d_long, jnp.inf))
-        v_cap_kmh = 3.6 * jnp.maximum(
-            (d_lead - closed_loop.ACC_STANDOFF) / closed_loop.ACC_HEADWAY,
-            0.0,
-        )
-        if full:
-            from emplanner_carla_tpu.planner import trajectory as traj_mod
-
-            t_rel = (tick_idx.astype(jnp.float32) + 1.0) * cfg.plant.dt
-            plan_speed = traj_mod.speed_at(traj, t_rel)
-            plan_speed = jnp.where(plan_ok, plan_speed, 0.0)
-            tick_target = 3.6 * jnp.minimum(plan_speed, v_cap_kmh / 3.6)
-        else:
-            tick_target = jnp.minimum(target_speed, v_cap_kmh)
-            tick_target = jnp.where(plan_ok, tick_target, 0.0)
-        steer, throttle, brake, cs = vehicle.run_step(
-            ego, target, cs, tick_target, cfg.vehicle, cfg.control
-        )
-        arrived = arrived | (
-            jnp.hypot(ego.x - dest_x, ego.y - dest_y) < lp.arrival_dist
-        )
-        stop = arrived | ~plan_ok
-        steer = jnp.where(stop, 0.0, steer)
-        throttle = jnp.where(stop, 0.0, throttle)
-        brake = jnp.where(stop, 1.0, brake)
-        ego = plant.step(ego, steer, throttle, brake, cfg.vehicle, cfg.plant)
-        obs_true = closed_loop._advance_obstacles(obs_true, cfg.plant.dt)
-        est = closed_loop._advance_obstacles(est, cfg.plant.dt)
-
-        d_obs = jnp.hypot(obs_true.x - ego.x, obs_true.y - ego.y)
-        collided = jnp.any(
-            obs_true.valid & (d_obs < closed_loop.COLLISION_RADIUS)
-        )
-        m = closed_loop.TickMetrics(
-            ego.x, ego.y, 3.6 * ego.speed,
-            closed_loop._lateral_error(ego, target),
-            ego.phi, collided, arrived, feas & plan_ok,
-        )
-        return (
-            ego, cs, obs_true, est, traj, target, arrived, feas, plan_ok
-        ), m
-
     def plan_cycle(carry: PixelCarry, _):
         lc = carry.loop
         # sense (road_classes=False: the detector reads only VEHICLE/WALKER
@@ -272,7 +219,6 @@ def simulate_pixels(
         # order-free, so path-mode planning is unchanged by the layout.
         tr_v = jnp.hypot(tracks.vx, tracks.vy)
         is_dyn = tracks.valid & (tr_v > cfg.loop.dynamic_speed_gate)
-        is_sta = tracks.valid & ~is_dyn
 
         def compact(mask, n_slots):
             rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
@@ -281,8 +227,16 @@ def simulate_pixels(
             ) & mask[None, :]
             return jnp.any(sel, axis=1), jnp.argmax(sel, axis=1)
 
-        take_s, src_s = compact(is_sta, cfg.n_static_obs)
-        take_d, src_d = compact(is_dyn, cfg.n_dynamic_obs)
+        # moving tracks beyond the dynamic-slot budget OVERFLOW into the
+        # static slots rather than vanishing (they lose only the S-T
+        # treatment, never planner/ACC visibility). Track slots
+        # (2*max_det = 8) never exceed static slots (n_static_obs = 8),
+        # so no estimate is ever dropped.
+        rank_dyn = jnp.cumsum(is_dyn.astype(jnp.int32)) - 1
+        to_dyn = is_dyn & (rank_dyn < cfg.n_dynamic_obs)
+        to_sta = tracks.valid & ~to_dyn
+        take_s, src_s = compact(to_sta, cfg.n_static_obs)
+        take_d, src_d = compact(to_dyn, cfg.n_dynamic_obs)
 
         def slot(a):
             return jnp.concatenate([
@@ -336,67 +290,66 @@ def simulate_pixels(
             qp_warm_new = (closed_loop._sanitize(res.qp_state), None)
         target = closed_loop._sanitize(res.target)
         cs = lc.ctrl.rebind()
-        if closed_loop._tick_kernel_eligible(cfg, None):
-            # whole tick loop in one Pallas kernel, driven by the ESTIMATED
-            # obstacle set (ACC guard + CV advance of the estimates happen
-            # in-kernel, like closed_loop.simulate's dispatch); the
-            # true-world collision channel is recomputed below from the
-            # recorded ego poses + closed-form CV truth — identical to the
-            # inline scan's post-advance check
-            from emplanner_carla_tpu.control import pid as pid_mod
-            from emplanner_carla_tpu.sim import traffic_light as tl_mod
+        # ONE tick-loop definition for both branches: the ticks run on the
+        # ESTIMATED obstacle set (ACC guard + CV advance of the estimates),
+        # through the Pallas kernel when eligible and otherwise through the
+        # SAME semantic base the kernel is tested against — no third copy
+        # of the tick physics. The true-world collision channel is
+        # recomputed afterwards from the recorded ego poses + closed-form
+        # constant-velocity truth (identical to an in-loop post-advance
+        # check).
+        from emplanner_carla_tpu.control import pid as pid_mod
+        from emplanner_carla_tpu.sim import traffic_light as tl_mod
 
-            if full:
-                tspeed, tq = traj.speed, traj.time
-            else:
-                nd = cfg.speed.n_dense
-                tq = jnp.arange(nd, dtype=jnp.float32) * (
-                    cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
-                )
-                tspeed = jnp.full((nd,), target_speed / 3.6)
-            (ego, buf_n, cnt_n, last_n, _est2, arrived, metrics) = (
-                closed_loop._tick_dispatch(cfg)(
-                    lc.ego, cs.pid.buffer, cs.pid.count, cs.pid.last_error,
-                    est, tspeed, tq, target, lc.arrived, res.feasible,
-                    plan_ok, dest_x, dest_y, tl_mod.TrafficLights.none(),
-                    jnp.float32(0.0),
-                )
-            )
-            cs = vehicle.ControllerState(
-                pid_mod.PIDState(buf_n, cnt_n, last_n), cs.mpc
-            )
-            t_rel = (jnp.arange(lp.plan_every, dtype=jnp.float32) + 1.0) * (
-                cfg.plant.dt
-            )
-            true_x = lc.obstacles.x[None, :] + lc.obstacles.vx[None, :] * (
-                t_rel[:, None]
-            )
-            true_y = lc.obstacles.y[None, :] + lc.obstacles.vy[None, :] * (
-                t_rel[:, None]
-            )
-            d_true = jnp.hypot(
-                metrics.x[:, None] - true_x, metrics.y[:, None] - true_y
-            )
-            collided = jnp.any(
-                lc.obstacles.valid[None, :]
-                & (d_true < closed_loop.COLLISION_RADIUS),
-                axis=1,
-            )
-            metrics = metrics._replace(collided=collided)
-            obs_true = closed_loop._advance_obstacles(lc.obstacles, plan_dt)
+        if full:
+            tspeed, tq = traj.speed, traj.time
         else:
-            (ego, cs, obs_true, _, _, _, arrived, _, _), metrics = (
-                jax.lax.scan(
-                    control_tick,
-                    (lc.ego, cs, lc.obstacles, est, traj, target,
-                     lc.arrived, res.feasible, plan_ok),
-                    jnp.arange(lp.plan_every),
-                )
+            nd = cfg.speed.n_dense
+            tq = jnp.arange(nd, dtype=jnp.float32) * (
+                cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
             )
+            tspeed = jnp.full((nd,), target_speed / 3.6)
+        tick_args = (
+            lc.ego, cs.pid.buffer, cs.pid.count, cs.pid.last_error,
+            est, tspeed, tq, target, lc.arrived, res.feasible,
+            plan_ok, dest_x, dest_y, tl_mod.TrafficLights.none(),
+            jnp.float32(0.0),
+        )
+        if closed_loop._tick_kernel_eligible(cfg, None):
+            (ego, buf_n, cnt_n, last_n, _est2, arrived, metrics) = (
+                closed_loop._tick_dispatch(cfg)(*tick_args)
+            )
+        else:
+            (ego, buf_n, cnt_n, last_n, _est2, arrived, metrics) = (
+                closed_loop._full_ticks_base(*tick_args, cfg)
+            )
+        cs = vehicle.ControllerState(
+            pid_mod.PIDState(buf_n, cnt_n, last_n), cs.mpc
+        )
+        t_rel = (jnp.arange(lp.plan_every, dtype=jnp.float32) + 1.0) * (
+            cfg.plant.dt
+        )
+        true_x = lc.obstacles.x[None, :] + lc.obstacles.vx[None, :] * (
+            t_rel[:, None]
+        )
+        true_y = lc.obstacles.y[None, :] + lc.obstacles.vy[None, :] * (
+            t_rel[:, None]
+        )
+        d_true = jnp.hypot(
+            metrics.x[:, None] - true_x, metrics.y[:, None] - true_y
+        )
+        collided = jnp.any(
+            lc.obstacles.valid[None, :]
+            & (d_true < closed_loop.COLLISION_RADIUS),
+            axis=1,
+        )
+        metrics = metrics._replace(collided=collided)
+        obs_true = closed_loop._advance_obstacles(lc.obstacles, plan_dt)
+        # planner-compression observability: ST drops + DP obstacle-slot
+        # drops in full mode (the st_top_m contract), DP drops otherwise
+        dropped = res_full.segments_dropped if full else res.obs_dropped
         metrics = metrics._replace(
-            segments_dropped=jnp.broadcast_to(
-                res.obs_dropped, metrics.x.shape
-            )
+            segments_dropped=jnp.broadcast_to(dropped, metrics.x.shape)
         )
         new_loop = closed_loop.LoopCarry(
             ego, cs, res.match_index, obs_true, arrived, qp_warm_new,

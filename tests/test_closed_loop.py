@@ -84,3 +84,47 @@ def test_emergency_brake_on_arrival():
     assert bool(s["arrived"])
     # stopped after arrival
     assert float(np.asarray(metrics.speed_kmh)[-1, -1]) < 5.0
+
+
+def test_stopped_ego_keeps_seeing_its_lead():
+    """The ACC twin of the stopped-at-red kernel bug: at exact standstill
+    the world-velocity direction degenerates to (0, 0) and the lead gate
+    re-opens for that tick (measured pre-fix: mm-scale creep pulses, then
+    a denormal-speed equilibrium). With _motion_dir's heading fallback an
+    ego at rest 5 m behind a stopped lead (inside the 7 m standoff ->
+    cap 0) holds EXACTLY — zero drift over 300 ticks."""
+    import dataclasses
+
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+    from emplanner_carla_tpu.types import EgoState, Obstacles, Path
+
+    cfg = EMConfig()
+    n = 64
+    gp = Path(jnp.arange(n) * 2.0, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    z = jnp.zeros(())
+    ego = EgoState(jnp.float32(25.0), z, z, z, z, z, z, z, z)  # at rest
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    obs = Obstacles(
+        jnp.zeros(K).at[0].set(30.0), jnp.zeros(K), jnp.zeros(K),
+        jnp.zeros(K), jnp.zeros(K, bool).at[0].set(True),
+    )
+    nd = cfg.speed.n_dense
+    tq = jnp.arange(nd, dtype=jnp.float32) * (
+        cfg.speed.n_t * cfg.speed.t_step / (nd - 1)
+    )
+    tspeed = jnp.full((nd,), cfg.loop.target_speed_kmh / 3.6)
+    lights = tl_mod.TrafficLights.none()
+    buf = jnp.zeros(cfg.control.pid_buffer)
+    cnt = jnp.zeros((), jnp.int32)
+    last = jnp.zeros(())
+    arrived = jnp.zeros((), bool)
+    tru = jnp.ones((), bool)
+    for _ in range(3):  # 300 ticks at rest behind the lead
+        (ego, buf, cnt, last, obs, arrived, m) = closed_loop._full_ticks_base(
+            ego, buf, cnt, last, obs, tspeed, tq, gp, arrived, tru, tru,
+            gp.x[-1], gp.y[-1], lights, jnp.float32(0.0), cfg,
+        )
+    # held exactly: the gate saw the lead every tick, cap stayed 0
+    assert float(ego.x) == pytest.approx(25.0, abs=1e-2), float(ego.x)
+    assert float(ego.vx) < 0.05
+    assert not bool(np.asarray(m.collided).any())

@@ -130,7 +130,7 @@ def test_path_qp_matches_scipy():
     start = (0.3, 0.01, 0.0)
     ref_l, ref_dl, ref_ddl, ok = path_np.path_qp_scipy(l_min, l_max, *start, ds)
     assert ok
-    l, dl, ddl, _slack = path_qp.path_qp(
+    l, dl, ddl = path_qp.path_qp(
         jnp.asarray(l_min, jnp.float32),
         jnp.asarray(l_max, jnp.float32),
         *[jnp.float32(v) for v in start],
@@ -149,7 +149,7 @@ def test_path_qp_straight_corridor_stays_centred():
     n = 25
     l_min = -10.0 * np.ones(n, np.float32)
     l_max = 10.0 * np.ones(n, np.float32)
-    l, dl, ddl, _slack = path_qp.path_qp(
+    l, dl, ddl = path_qp.path_qp(
         jnp.asarray(l_min), jnp.asarray(l_max),
         jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
         CFG, 4.0,
