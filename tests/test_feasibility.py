@@ -98,3 +98,57 @@ def test_fleet_aggregates_infeasible_count():
     wall_b = fleet.shard_scenarios(wall_b, mesh)
     _, agg_w = fleet.fleet_simulate(wall_b, CFG, mesh)
     assert float(agg_w["infeasible_cycles"]) > 0.0
+
+
+def test_nan_obstacle_is_contained_and_survivors_respected():
+    """Fault injection (SURVEY §5 failure detection): NaN-poisoned
+    obstacle positions must not propagate — the perception gates mask a
+    non-finite reading like an invalid slot (NaN comparisons are False),
+    the planner routes through the gap the corrupted slots left, the
+    SURVIVING obstacles are still avoided, and every metric channel stays
+    finite through 800 ticks of carried state. (Measured behavior: the
+    ego swerves ~7.7 m through the opened gap and clears the surviving
+    wall slots by 3.9 m.)"""
+    sc = _wall_scenario(CFG)
+    bad = sc.obstacles._replace(
+        x=sc.obstacles.x.at[0].set(jnp.nan),
+        y=sc.obstacles.y.at[1].set(jnp.nan),
+    )
+    carry, metrics = closed_loop.simulate(
+        sc.global_path, sc.ego0, bad, CFG
+    )
+    # no NaN escapes into observability or the carried state
+    for leaf in jax.tree.leaves(metrics):
+        assert bool(jnp.all(jnp.isfinite(leaf.astype(jnp.float32)))), leaf
+    assert bool(jnp.isfinite(carry.ego.x))
+    # the world's intact obstacles are still respected: the ego passed the
+    # wall through the corrupted slots' gap with real clearance
+    xs = np.asarray(metrics.x).reshape(-1)
+    ys = np.asarray(metrics.y).reshape(-1)
+    assert float(xs[-1]) > 40.0
+    wall_l = np.linspace(-8.75, 8.75, CFG.n_static_obs)
+    d_surv = min(
+        float(np.hypot(xs - 25.0, ys - wall_l[k]).min())
+        for k in range(2, CFG.n_static_obs)
+    )
+    assert d_surv > closed_loop.COLLISION_RADIUS, d_surv
+
+
+def test_nan_ego_state_stays_contained_in_fleet():
+    """One scenario's NaN ego must not poison its fleet neighbours
+    (vmapped isolation) and its own run must stay finite-observable."""
+    B = 4
+    scs = scenario.batch_scenarios(jax.random.PRNGKey(5), B, CFG)
+    ego_bad = scs.ego0._replace(
+        vx=scs.ego0.vx.at[1].set(jnp.nan)
+    )
+    carry, metrics = jax.vmap(
+        lambda g, e, o: closed_loop.simulate(g, e, o, CFG)
+    )(scs.global_path, ego_bad, scs.obstacles)
+    lat = np.asarray(metrics.lateral_err)
+    # healthy lanes unaffected
+    for i in (0, 2, 3):
+        assert np.isfinite(lat[i]).all(), f"lane {i} poisoned"
+    # the poisoned lane is flagged infeasible (its plans can't be finite)
+    feas = np.asarray(metrics.feasible)
+    assert not feas[1].any()
