@@ -392,6 +392,7 @@ def simulate_traffic(
     behavior: str = "normal",
     full: bool = False,
     lights=None,
+    npc_init=None,
 ) -> tuple[TrafficCarry, TickMetrics]:
     """Closed loop with *agent-driven* NPCs instead of constant velocity.
 
@@ -410,6 +411,12 @@ def simulate_traffic(
     ``lights``: optional TrafficLights; both the ego (red-light speed cap,
     ``basic_agent.py:201-249``) and every NPC agent (red stop line treated
     as a stationary IDM lead) obey them.
+
+    ``npc_init``: optional ``(npc_path_index (K,), npc.LaneState)`` to
+    seed the NPC agents' carried state — checkpoint/resume passes the
+    restored TrafficCarry's values so a resumed run continues
+    mid-lane-change exactly; by default indices are matched from the
+    initial positions and lane state starts centred.
     """
     from emplanner_carla_tpu.planner import trajectory as traj_mod
     from emplanner_carla_tpu.sim import npc as npc_mod
@@ -564,9 +571,15 @@ def simulate_traffic(
             metrics,
         )
 
-    npc_idx0 = jax.vmap(
-        lambda k: frenet.nearest_index(obstacles0.x[k], obstacles0.y[k], global_path)
-    )(jnp.arange(K))
+    if npc_init is not None:
+        npc_idx0, npc_lane0 = npc_init
+    else:
+        npc_idx0 = jax.vmap(
+            lambda k: frenet.nearest_index(
+                obstacles0.x[k], obstacles0.y[k], global_path
+            )
+        )(jnp.arange(K))
+        npc_lane0 = npc_mod.LaneState.init(K)
     carry0 = TrafficCarry(
         LoopCarry(
             ego0,
@@ -577,7 +590,7 @@ def simulate_traffic(
             em_planner.warm_init(cfg, full=full),
         ),
         npc_idx0,
-        npc_mod.LaneState.init(K),
+        npc_lane0,
     )
     return jax.lax.scan(
         plan_cycle, carry0, jnp.arange(lp.n_plans, dtype=jnp.int32)

@@ -42,12 +42,17 @@ def restore(path: str, carry_like, metrics_like=None):
     return out["carry"]
 
 
-def resume_simulation(global_path, carry, cfg, n_plans: int, full: bool = False):
+def resume_simulation(global_path, carry, cfg, n_plans: int,
+                      full: bool = False, behavior: str | None = None):
     """Continue a closed-loop run from a restored carry for ``n_plans`` more
     cycles. Pure functions make resume exact up to the carried controller
     state (the controller rebinds at every cycle boundary anyway,
     ``test_9.py:415-417`` semantics), so re-entering with the restored
-    ego/obstacle world continues the rollout."""
+    ego/obstacle world continues the rollout.
+
+    A restored ``closed_loop.TrafficCarry`` (pass ``behavior``) resumes
+    the agent-traffic loop with the NPCs' carried match indices and
+    lane-change state — a mid-lane-change NPC continues its maneuver."""
     import dataclasses
 
     from emplanner_carla_tpu.sim import closed_loop
@@ -55,5 +60,11 @@ def resume_simulation(global_path, carry, cfg, n_plans: int, full: bool = False)
     cfg2 = dataclasses.replace(
         cfg, loop=dataclasses.replace(cfg.loop, n_plans=n_plans)
     )
+    if isinstance(carry, closed_loop.TrafficCarry):
+        return closed_loop.simulate_traffic(
+            global_path, carry.loop.ego, carry.loop.obstacles, cfg2,
+            behavior=behavior or "normal", full=full,
+            npc_init=(carry.npc_path_index, carry.npc_lane),
+        )
     sim = closed_loop.simulate_full if full else closed_loop.simulate
     return sim(global_path, carry.ego, carry.obstacles, cfg2)

@@ -184,6 +184,54 @@ class TestReportAndCheckpoint:
         assert d0 > 5.0  # it moved on
 
 
+class TestTrafficCheckpoint:
+    def test_traffic_resume_continues_lane_change(self, tmp_path):
+        """Checkpoint/resume of the agent-traffic loop preserves the NPC
+        agents' carried state: an NPC checkpointed MID-lane-change resumes
+        and completes the maneuver instead of snapping back to centre."""
+        import dataclasses
+
+        from emplanner_carla_tpu.sim import npc as npc_mod
+        from emplanner_carla_tpu.types import EgoState, Obstacles, Path
+        from emplanner_carla_tpu.utils import checkpoint
+
+        cfg = EMConfig(
+            loop=dataclasses.replace(EMConfig().loop, n_plans=2)
+        )
+        n = 200
+        s_ax = jnp.arange(n) * 2.0
+        gp = Path(s_ax, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+        K = cfg.n_static_obs + cfg.n_dynamic_obs
+        d0 = cfg.n_static_obs
+        # parked car blocks the agent NPC's lane (the lane-change parity
+        # scenario of test_fidelity, shortened)
+        ox = jnp.zeros(K).at[0].set(60.0).at[d0].set(20.0)
+        ovx = jnp.zeros(K).at[d0].set(8.0)
+        valid = jnp.zeros(K, bool).at[0].set(True).at[d0].set(True)
+        obstacles = Obstacles(ox, jnp.zeros(K), ovx, jnp.zeros(K), valid)
+        z = jnp.zeros(())
+        ego0 = EgoState(gp.x[0], z, z, jnp.float32(5.0), z, z, z, z, z)
+
+        carry, _ = closed_loop.simulate_traffic(
+            gp, ego0, obstacles, cfg, behavior="normal"
+        )
+        off_mid = float(carry.npc_lane.offset[d0])
+        assert 0.5 < off_mid < 3.4, off_mid   # checkpointed MID-maneuver
+
+        path = str(tmp_path / "traffic_ckpt")
+        checkpoint.save(path, carry)
+        restored = checkpoint.restore(path, jax.tree.map(np.asarray, carry))
+        carry2, m2 = checkpoint.resume_simulation(
+            gp, restored, cfg, n_plans=2, behavior="normal"
+        )
+        assert bool(jnp.all(jnp.isfinite(m2.lateral_err)))
+        # maneuver completed from the restored offset (no snap-back)
+        off_end = float(carry2.npc_lane.offset[d0])
+        assert off_end > off_mid
+        assert float(carry2.npc_lane.target[d0]) == 3.5
+        assert not bool(np.asarray(m2.collided).any())
+
+
 class TestTrafficLoop:
     def test_npc_driven_closed_loop(self):
         sc = scenario.make_scenario(jax.random.PRNGKey(0), CFG)
