@@ -53,7 +53,7 @@ def main():
     assert float(jnp.sum(fin)) == float(jnp.sum(cnt)), "non-finite metrics"
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):  # best-of-5 against tunnel-dispatch jitter
         t0 = time.perf_counter()
         sq, cnt, fin = sim(scs.global_path, scs.ego0, scs.obstacles)
         _ = float(jnp.sum(sq))  # forced synchronization

@@ -19,7 +19,10 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def timed(f, *args, reps=3):
+def timed(f, *args, reps=5):
+    # best-of-5: the axon tunnel adds multi-ms jitter per dispatch —
+    # min-of-3 measured 35% swings on the same binary (config 2:
+    # 57k vs 91k plans/s); 5 reps brackets the clean sample reliably
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -17,9 +17,14 @@ mirrors ``sim/closed_loop._full_ticks_base`` term for term
 (reference anchors: ``controller.py:374-611`` LQR, ``:65-336`` MPC,
 ``:614-677`` PID, ``:694-724`` facade; ``test_9.py:333-446`` loop
 pacing/arrival brake). Both lateral controllers (LQR gain table /
-condensed-MPC box ADMM) and both plants (kinematic / friction-limited
-dynamic bicycle) are implemented; see ``_tick_kernel_eligible`` for
-which combinations production dispatch routes here.
+condensed-MPC box ADMM with a fused single-dot table lerp and an
+all-interior ``lax.cond`` skip), both plants (kinematic /
+friction-limited dynamic bicycle), traffic-light red-stop caps (ego +
+NPC stop-line leads), and the agent-traffic branch (``traffic=``: all
+NPC agents stepped in-register — pure pursuit on the global path, IDM,
+overtake-pressure lane changes — with a polynomial atan2, Mosaic having
+no atan2 lowering) are implemented; every closed-loop production path
+is kernel-eligible (see ``_tick_kernel_eligible``).
 """
 
 from __future__ import annotations
