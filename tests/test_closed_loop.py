@@ -128,3 +128,22 @@ def test_stopped_ego_keeps_seeing_its_lead():
     assert float(ego.x) == pytest.approx(25.0, abs=1e-2), float(ego.x)
     assert float(ego.vx) < 0.05
     assert not bool(np.asarray(m.collided).any())
+
+
+def test_bitwise_deterministic_rerun():
+    """Reproducibility: the whole compiled loop is a pure function — two
+    executions on identical inputs must agree BITWISE (replay/debugging
+    and fleet-result auditability depend on it)."""
+    import dataclasses
+
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=3)
+    )
+    sc = scenario.make_scenario(jax.random.PRNGKey(7), cfg)
+    f = jax.jit(lambda: closed_loop.simulate_full(
+        sc.global_path, sc.ego0, sc.obstacles, cfg
+    ))
+    _, m1 = f()
+    _, m2 = f()
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
