@@ -321,6 +321,7 @@ def make_prefactored_qp(
     pallas_interpret: bool = False,
     warm: bool = False,
     warm_iters_per_phase: int | None = None,
+    kernel_matmul: str = "highest",
 ):
     """Build a constant-matrix QP solver: min 1/2 x'Px + q'x, l <= Ax <= u.
 
@@ -360,7 +361,7 @@ def make_prefactored_qp(
         return qp_pallas.make_pallas_qp(
             Pt, At, D, E, c, phases, _n_iters,
             sigma=sigma, alpha=alpha, block=pallas_block,
-            interpret=pallas_interpret, warm=warm,
+            interpret=pallas_interpret, warm=warm, matmul=kernel_matmul,
         )
 
     n = Pt.shape[0]
@@ -433,14 +434,19 @@ def make_prefactored_qp(
 
     # ---- automatic fused-kernel dispatch under vmap ----
     # The qp_pallas kernel fuses the whole rho ladder into one pallas_call
-    # with the constants resident in VMEM and every dot at full f32
-    # (6-pass) precision. Measured on the full-EM loop at batch 4096: same
-    # wall clock as the XLA ladder at bf16x3 — i.e. the kernel buys back
-    # the full-precision numerics (infeasible-flag count returns to the
-    # bf16x6 baseline: 1 vs 9 of 10240 cycles on the sensitive seed) for
-    # free. A jax.custom_vmap routes full-lane TPU batches to it;
-    # everything else (CPU tests, odd batches, unbatched calls) keeps the
-    # XLA path.
+    # with the constants resident in VMEM. Dot precision is selected by
+    # ``kernel_matmul``: at "highest" (f32, 6 MXU passes) the kernel
+    # measured the same wall clock as this XLA ladder at bf16x3 — the
+    # fusion bought back full-f32 numerics for free (infeasible-flag count
+    # at the bf16x6 baseline: 1 vs 9 of 10240 on the sensitive seed). The
+    # planner QPs now default to "bf16x3" (explicit hi/lo split in-kernel,
+    # 3 passes): 178.7k -> 192.6k full-EM cycles/s at batch 4096, with the
+    # same fleet validation clean (collisions 0->0, infeasible flags
+    # IDENTICAL per seed, RMSE equal-or-better) — unlike the XLA ladder's
+    # "high", the kernel keeps the (x, z, y) state and all VPU arithmetic
+    # in f32, only the dot operands are split. A jax.custom_vmap routes
+    # full-lane TPU batches to the kernel; everything else (CPU tests, odd
+    # batches, unbatched calls) keeps the XLA path.
     from jax.custom_batching import custom_vmap
 
     from emplanner_carla_tpu.ops import qp_pallas
@@ -448,6 +454,7 @@ def make_prefactored_qp(
     pallas_solve = qp_pallas.make_pallas_qp(
         Pt, At, D, E, c, phases, n_iters,
         sigma=sigma, alpha=alpha, block=128, warm=warm,
+        matmul=kernel_matmul,
     )
 
     def _eligible(axis_size):

@@ -52,6 +52,7 @@ def make_pallas_qp(
     interpret: bool = False,
     precision=jax.lax.Precision.HIGHEST,
     warm: bool = False,
+    matmul: str = "highest",
 ):
     """Build the fused solver from already-equilibrated constants.
 
@@ -64,6 +65,17 @@ def make_pallas_qp(
     with ``state = (x_s (B, n), z (B, m), y (B, m))`` in the scaled space —
     the same contract as the XLA warm path of ``qp.make_prefactored_qp``
     (pad/unpad at the boundary is exact: padded rows/vars are inert).
+
+    ``matmul`` picks the iteration dot implementation:
+
+    * ``"highest"`` — f32 dots at ``Precision.HIGHEST`` (6 bf16 MXU passes;
+      Mosaic has no 3-pass HIGH).
+    * ``"bf16x3"`` — an explicit hi/lo bf16 split of both operands with the
+      lo*lo term dropped (hh + hl + lh, f32 accumulation): the same ~2^-22
+      relative error as XLA's ``default_matmul_precision("high")`` that the
+      warm XLA ladder already runs (see qp.py's fleet-validation note), at
+      HALF the MXU passes. Constants are split once at factory time; the
+      iterate operand is split per dot on the VPU.
     """
     n = Pt.shape[0]
     m = At.shape[0]
@@ -87,6 +99,29 @@ def make_pallas_qp(
     AT_p = A_p.T.copy()  # (n_pad, m_pad)
 
     blk = block
+    split = matmul == "bf16x3"
+    if matmul not in ("highest", "bf16x3"):
+        raise ValueError(f"matmul must be 'highest' or 'bf16x3', got {matmul}")
+
+    if split:
+        import ml_dtypes
+
+        def _hl(a: np.ndarray) -> np.ndarray:
+            """Stack the hi/lo bf16 split along a new leading axis."""
+            hi = a.astype(ml_dtypes.bfloat16)
+            lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            return np.stack([hi, lo])
+
+        A_in = _hl(A_p)                       # (2, m_pad, n_pad) bf16
+        AT_in = _hl(AT_p)                     # (2, n_pad, m_pad) bf16
+        # pre-transposed, phase-major-flattened: [hi ph0..phk, lo ph0..phk]
+        # (keeps the kernel ref 3-D and avoids in-kernel bf16 transposes)
+        KinvT_hl = _hl(np.transpose(Kinv_p, (0, 2, 1)))
+        Kinv_in = KinvT_hl.reshape(2 * n_phases, n_pad, n_pad)
+    else:
+        A_in = A_p
+        AT_in = AT_p
+        Kinv_in = Kinv_p
 
     def kernel(q_ref, l_ref, u_ref, x0_ref, z0_ref, y0_ref,
                A_ref, AT_ref, Kinv_ref, rho_ref,
@@ -98,12 +133,44 @@ def make_pallas_qp(
         z_s[:] = jnp.clip(z0_ref[:], ls, us)
         y_s[:] = y0_ref[:]
 
+        def dot3(w, c_hi, c_lo):
+            # hi/lo bf16 operand split, lo*lo dropped: XLA "high" numerics
+            # (~2^-22 relative) at 3 MXU passes instead of HIGHEST's 6
+            w_hi = w.astype(jnp.bfloat16)
+            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (
+                jnp.dot(w_hi, c_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(w_hi, c_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(w_lo, c_hi, preferred_element_type=jnp.float32)
+            )
+
         for ph in range(n_phases):
             rho = rho_ref[ph : ph + 1, :]      # (1, m_pad) — keep 2-D for Mosaic
             rho_inv = 1.0 / rho
-            Kinv_T = Kinv_ref[ph].T            # (n_pad, n_pad)
+            if split:
+                KT_hi = Kinv_ref[ph]           # pre-transposed at factory
+                KT_lo = Kinv_ref[n_phases + ph]
+            else:
+                Kinv_T = Kinv_ref[ph].T        # (n_pad, n_pad)
 
-            def body(_, carry, rho=rho, rho_inv=rho_inv, Kinv_T=Kinv_T):
+            def body_split(_, carry, rho=rho, rho_inv=rho_inv,
+                           KT_hi=KT_hi if split else None,
+                           KT_lo=KT_lo if split else None):
+                x = x_s[:]
+                z = z_s[:]
+                y = y_s[:]
+                rhs = sigma * x - qs + dot3(rho * z - y, A_ref[0], A_ref[1])
+                x = dot3(rhs, KT_hi, KT_lo)
+                Ax = dot3(x, AT_ref[0], AT_ref[1])
+                Ax_rel = alpha * Ax + (1.0 - alpha) * z
+                z_new = jnp.clip(Ax_rel + y * rho_inv, ls, us)
+                y_s[:] = y + rho * (Ax_rel - z_new)
+                x_s[:] = x
+                z_s[:] = z_new
+                return 0
+
+            def body(_, carry, rho=rho, rho_inv=rho_inv,
+                     Kinv_T=Kinv_T if not split else None):
                 # carry unused; state lives in VMEM scratch for the whole solve
                 x = x_s[:]
                 z = z_s[:]
@@ -129,7 +196,9 @@ def make_pallas_qp(
                 z_s[:] = z_new
                 return 0
 
-            jax.lax.fori_loop(0, iters_per_phase, body, 0)
+            jax.lax.fori_loop(
+                0, iters_per_phase, body_split if split else body, 0
+            )
 
         x_out[:] = x_s[:]
         zs_out[:] = z_s[:]
@@ -142,9 +211,9 @@ def make_pallas_qp(
         # invoked inside lru_cached solver builders that run during jit
         # traces — jnp arrays created there leak that trace's context into
         # later traces ("No constant handler for DynamicJaxprTracer")
-        A_c = jnp.asarray(A_p)
-        AT_c = jnp.asarray(AT_p)
-        Kinv_c = jnp.asarray(Kinv_p)
+        A_c = jnp.asarray(A_in)
+        AT_c = jnp.asarray(AT_in)
+        Kinv_c = jnp.asarray(Kinv_in)
         rho_c = jnp.asarray(rho_p)
         D_c = jnp.asarray(D_p)
         E_c = jnp.asarray(E_p)
@@ -174,11 +243,11 @@ def make_pallas_qp(
             grid=(B // block,),
             in_specs=[
                 bspec_n, bspec_m, bspec_m, bspec_n, bspec_m, bspec_m,
-                pl.BlockSpec((m_pad, n_pad), lambda i: (0, 0),
+                pl.BlockSpec(A_in.shape, lambda i: (0,) * A_in.ndim,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, m_pad), lambda i: (0, 0),
+                pl.BlockSpec(AT_in.shape, lambda i: (0,) * AT_in.ndim,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_phases, n_pad, n_pad), lambda i: (0, 0, 0),
+                pl.BlockSpec(Kinv_in.shape, lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_phases, m_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),

@@ -204,6 +204,7 @@ def _solver_for(n: int, ds: float, cfg: PathPlanConfig, warm: bool = False):
         iters_per_phase=max(2 * cfg.admm_iters // 3, 60),
         warm=warm,
         warm_iters_per_phase=max(cfg.warm_admm_iters // 3, 1),
+        kernel_matmul=cfg.warm_kernel_matmul,
     )
     return solve, front_index, back_index
 

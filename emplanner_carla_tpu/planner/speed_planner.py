@@ -495,6 +495,7 @@ def _speed_solver(cfg: SpeedPlanConfig, warm: bool = False):
         iters_per_phase=max(2 * cfg.admm_iters // 3, 60),
         warm=warm,
         warm_iters_per_phase=max(cfg.warm_admm_iters // 3, 1),
+        kernel_matmul=cfg.warm_kernel_matmul,
     )
 
 

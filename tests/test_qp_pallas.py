@@ -95,3 +95,48 @@ def test_pallas_warm_matches_jnp_prefactored():
     x1b, _ = jax.vmap(solve_jnp)(q2, jnp.asarray(l), jnp.asarray(u), s1)
     x2b, _ = solve_pl(q2, jnp.asarray(l), jnp.asarray(u), s2)
     np.testing.assert_allclose(np.asarray(x2b), np.asarray(x1b), atol=5e-3)
+
+
+def test_pallas_bf16x3_matches_jnp_prefactored():
+    """The production default (config warm_kernel_matmul="bf16x3") splits
+    every kernel dot into hi/lo bf16 passes; its iterates must stay within
+    the same 5e-3 equivalence bar against the XLA ladder as the HIGHEST
+    kernel (measured interpret-mode deviation ~1.6e-3 over two warm solves
+    — the XLA default_matmul_precision("high") numerics regime the fleet
+    validation in qp.py accepts)."""
+    n = 25
+    P_np, A_np, eq_mask, fi, bi = _qp_constants(n, 4.0, CFG)
+    nv = A_np.shape[1]
+    m = A_np.shape[0]
+    q_typ = np.zeros(nv)
+    q_typ[0 : 3 * n : 3] = -1000.0
+    kw = dict(q_typical=q_typ, iters_per_phase=20, warm=True,
+              warm_iters_per_phase=20)
+    solve_jnp = qpmod.make_prefactored_qp(P_np, A_np, eq_mask, **kw)
+    solve_bf = qpmod.make_prefactored_qp(
+        P_np, A_np, eq_mask, **kw,
+        use_pallas=True, pallas_block=8, pallas_interpret=True,
+        kernel_matmul="bf16x3",
+    )
+    B = 8
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(B, nv)).astype(np.float32) * 100.0
+    u = np.concatenate(
+        [np.zeros((B, 48)), np.full((B, 200), 8.0), np.zeros((B, 6)),
+         np.full((B, n), 1e8)], axis=1
+    ).astype(np.float32)
+    l = np.concatenate(
+        [np.zeros((B, 48)), np.full((B, 200), -1e8), np.zeros((B, 6)),
+         np.zeros((B, n))], axis=1
+    ).astype(np.float32)
+    st = (jnp.zeros((B, nv)), jnp.zeros((B, m)), jnp.zeros((B, m)))
+    x1, s1 = jax.vmap(solve_jnp)(jnp.asarray(q), jnp.asarray(l),
+                                 jnp.asarray(u), st)
+    x2, s2 = solve_bf(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u), st)
+    assert bool(jnp.all(jnp.isfinite(x2)))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=5e-3)
+    # carried-state contract across a perturbed second cycle
+    q2 = jnp.asarray(q * 1.05)
+    x1b, _ = jax.vmap(solve_jnp)(q2, jnp.asarray(l), jnp.asarray(u), s1)
+    x2b, _ = solve_bf(q2, jnp.asarray(l), jnp.asarray(u), s2)
+    np.testing.assert_allclose(np.asarray(x2b), np.asarray(x1b), atol=5e-3)
