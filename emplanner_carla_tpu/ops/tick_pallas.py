@@ -144,7 +144,7 @@ def run_ticks_batched(
         # [Minv (nu^2) | G1 e-channels (4 x nu) | g2 (nu) | Hinv2 (nu^2)],
         # sliced apart in-kernel. Seven separate small dots measured as
         # dispatch/relayout overhead on the MPC tick's serial path.
-        consts_np = [_np.concatenate(
+        _tab = _np.concatenate(
             [
                 Minv_np.reshape(Minv_np.shape[0], nu * nu).T,  # (nu*nu, n_tab)
             ] + [
@@ -154,7 +154,16 @@ def run_ticks_batched(
                 Hinv2_np.reshape(Hinv2_np.shape[0], nu * nu).T,
             ],
             axis=0,
-        )]
+        )
+        # hi/lo bf16 split at trace time: the in-kernel lerp dot runs 3 MXU
+        # passes (hh + hl + lh, f32 accumulation) instead of HIGHEST's 6 —
+        # ~2^-22 relative on the lerped gains, the same validated regime as
+        # the warm-QP kernels (qp_pallas.make_pallas_qp matmul="bf16x3")
+        import ml_dtypes as _mld
+
+        _tab_hi = _tab.astype(_mld.bfloat16)
+        _tab_lo = (_tab - _tab_hi.astype(_np.float32)).astype(_mld.bfloat16)
+        consts_np = [_np.stack([_tab_hi, _tab_lo])]  # (2, 2nu^2+6nu, n_tab)
     else:
         vx_grid_np, K_table_np = lateral.lqr_gain_table(cfg.vehicle, cc)
         consts_np = [K_table_np]                           # (n_tab, 4)
@@ -367,12 +376,19 @@ def run_ticks_batched(
             e_phi_dot = omega - km * s_dot
 
             if kind == "MPC":
-                hp = jax.lax.Precision.HIGHEST
                 (mpc_tab_ref,) = const_refs
 
-                lerped = jnp.dot(
-                    mpc_tab_ref[:], sel, precision=hp,
-                    preferred_element_type=jnp.float32,
+                sel_hi = sel.astype(jnp.bfloat16)
+                sel_lo = (sel - sel_hi.astype(jnp.float32)).astype(
+                    jnp.bfloat16
+                )
+                lerped = (
+                    jnp.dot(mpc_tab_ref[0], sel_hi,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(mpc_tab_ref[0], sel_lo,
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(mpc_tab_ref[1], sel_hi,
+                              preferred_element_type=jnp.float32)
                 )                                       # (2nu^2+6nu, blk)
                 nn = nu * nu
                 minv_l = lerped[0:nn].reshape(nu, nu, blk)
