@@ -100,6 +100,82 @@ def _obs_cost(
     return jnp.sum(jnp.where(valid, per_obs, 0.0), axis=-1)
 
 
+def transition_obstacle_costs(
+    obs_s: Array,
+    obs_l: Array,
+    obs_valid: Array,
+    plan_start_s: Array,
+    cfg: PathPlanConfig,
+) -> Array:
+    """Obstacle cost of every transition edge, (cols-1, rows, rows).
+
+    Exactly ``_obs_cost`` over the dense (cols-1, rows, rows, m, K)
+    squared-distance tensor (``cal_obs_cost``,
+    ``/root/reference/planner/path_planning.py:588-609``), computed
+    sparsely: an obstacle contributes to edge c only where
+    d^2 < safe_dist^2, and the s-distance alone already exceeds safe_dist
+    outside a 2*safe_dist window around obs_s. Edge c's samples span s
+    offsets [(c+1)h, (c+1)h + span] with span = h*(m-1)/m, so with
+    2*safe_dist + span < 2h (12 + 13.5 < 30 at defaults) at most TWO
+    consecutive edges can receive nonzero cost from one obstacle. Dense
+    XLA wastes ~60% of the 5D tensor on provably-zero slots; instead
+    evaluate each obstacle against its two candidate edges
+    (n1 = floor((r+safe)/h), n0 = n1-1, r relative to plan_start_s) and
+    scatter with a one-hot over columns. Boundary ties are irrelevant: at
+    |s - obs_s| = safe_dist the band predicate (strict <) and the collide
+    predicate (danger < safe) are both false, so candidate-window edge
+    inclusion/exclusion never changes the cost.
+    """
+    rows, cols, m = cfg.rows, cfg.cols, cfg.n_edge_samples
+    h = cfg.sample_s
+    trans_l, _, u_np = _transition_geometry(cfg)
+    trans_l = jnp.asarray(trans_l)  # (rows, rows, m)
+    u = jnp.asarray(u_np, jnp.float32)
+    span = h * (m - 1) / m
+    assert 2 * cfg.safe_dist + span < 2 * h, (
+        "sparse path-DP edge costs assume an obstacle reaches <= 2 edges"
+    )
+    r = obs_s - plan_start_s  # (K,)
+    n1 = jnp.floor((r + cfg.safe_dist) / h)
+    cand_n = jnp.stack([n1 - 1.0, n1])  # (2, K) candidate c+1 values
+    n_lo = (r - cfg.safe_dist - span) / h
+    cand_ok = (
+        (cand_n >= 1.0)
+        & (cand_n <= float(cols - 1))
+        & (cand_n >= n_lo[None, :])
+        & obs_valid[None, :]
+    )  # (2, K)
+    # squared s-distance per candidate edge sample: (2, K, m)
+    s_cand = plan_start_s + cand_n[:, :, None] * h + u[None, None, :] * h
+    ds2 = (obs_s[None, :, None] - s_cand) ** 2
+    # lateral part is edge-column invariant: (K, rows, rows, m)
+    dl2 = (obs_l[:, None, None, None] - trans_l[None]) ** 2
+    d2_cand = ds2[:, :, None, None, :] + dl2[None]  # (2, K, rows, rows, m)
+    danger2 = cfg.danger_dist**2
+    safe2 = cfg.safe_dist**2
+    collide = jnp.any(d2_cand <= danger2, axis=-1)  # (2, K, rows, rows)
+    band = (d2_cand > danger2) & (d2_cand < safe2)
+    band_cost = jnp.sum(
+        jnp.where(band, cfg.danger_cost_num / jnp.maximum(d2_cand, 1e-6), 0.0),
+        axis=-1,
+    )
+    per_obs = jnp.where(collide, cfg.w_collision, 0.0) + band_cost
+    # where (not multiply) so garbage/NaN in padded obstacle slots cannot
+    # poison the scatter (0 * nan = nan).
+    per_obs = jnp.where(cand_ok[:, :, None, None], per_obs, 0.0)
+    onehot = jnp.where(
+        cand_ok[:, :, None],
+        (cand_n[:, :, None] - 1.0)
+        == jnp.arange(cols - 1, dtype=jnp.float32)[None, None, :],
+        False,
+    ).astype(per_obs.dtype)  # (2, K, cols-1)
+    # VPU mask-multiply-sum, NOT einsum: a (16->5x144) dot_general would
+    # ride the MXU at the planner's HIGHEST precision (6 passes) for a
+    # contraction this tiny.
+    contrib = onehot[:, :, :, None, None] * per_obs[:, :, None]
+    return jnp.sum(contrib, axis=(0, 1))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def path_dp(
     obs_s: Array,
@@ -158,14 +234,10 @@ def path_dp(
     ) ** 2
     start_obs = _obs_cost(d2_start, obs_valid, cfg)  # (rows,)
 
-    # transition edges (columns 1..cols-1): (cols-1, rows, rows, m, K)
-    d2_trans = (
-        obs_s[None, None, None, None, :]
-        - s_samples[1:, None, None, :, None]
-    ) ** 2 + (
-        obs_l[None, None, None, None, :] - trans_l[None, :, :, :, None]
-    ) ** 2
-    trans_obs = _obs_cost(d2_trans, obs_valid, cfg)  # (cols-1, rows, rows)
+    # transition edges (columns 1..cols-1): sparse 2-candidate evaluation
+    trans_obs = transition_obstacle_costs(
+        obs_s, obs_l, obs_valid, plan_start_s, cfg
+    )
 
     keep_right = jnp.where(
         jnp.arange(rows) < (rows // 2), cfg.keep_right_penalty, 0.0

@@ -48,6 +48,54 @@ def test_dp_matches_oracle(obs):
     assert bool(feas) == bool(ref_feas)
 
 
+def test_sparse_edge_costs_match_dense():
+    """The 2-candidate sparse transition-edge obstacle cost must equal the
+    dense (cols-1, rows, rows, m, K) evaluation bit-for-bit, including
+    obstacles at column-window boundaries, out of range, and NaN padding."""
+    trans_l, _, u = path_dp._transition_geometry(CFG)
+    h, m = CFG.sample_s, CFG.n_edge_samples
+    rng = np.random.default_rng(0)
+    for trial in range(24):
+        s0 = np.float32(rng.uniform(-5.0, 200.0))
+        obs_s = s0 + rng.uniform(-20.0, CFG.cols * h + 20.0, K).astype(
+            np.float32
+        )
+        if trial % 3 == 0:
+            # pin some obstacles exactly on candidate-window boundaries
+            n = rng.integers(0, CFG.cols, 4)
+            obs_s[:4] = s0 + (n * h - CFG.safe_dist).astype(np.float32)
+        obs_l = rng.uniform(-10.0, 10.0, K).astype(np.float32)
+        valid = rng.random(K) < 0.7
+        obs_s = np.where(valid, obs_s, np.nan).astype(np.float32)
+        sparse = path_dp.transition_obstacle_costs(
+            jnp.asarray(obs_s), jnp.asarray(obs_l), jnp.asarray(valid),
+            jnp.float32(s0), CFG,
+        )
+        # dense reference, NumPy float32 (the pre-sparse formula)
+        s_samples = s0 + (
+            np.arange(CFG.cols, dtype=np.float32)[:, None] * h
+            + u[None, :].astype(np.float32) * h
+        )
+        d2 = (
+            np.nan_to_num(obs_s, nan=1e9)[None, None, None, None, :]
+            - s_samples[1:, None, None, :, None]
+        ) ** 2 + (
+            obs_l[None, None, None, None, :] - trans_l[None, :, :, :, None]
+        ) ** 2
+        collide = np.any(d2 <= CFG.danger_dist**2, axis=-2)
+        band = (d2 > CFG.danger_dist**2) & (d2 < CFG.safe_dist**2)
+        band_cost = np.sum(
+            np.where(band, CFG.danger_cost_num / np.maximum(d2, 1e-6), 0.0),
+            axis=-2,
+        )
+        per = np.where(collide, CFG.w_collision, 0.0) + band_cost
+        dense = np.sum(np.where(valid, per, 0.0), axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(sparse), dense, rtol=1e-5, atol=1e-4,
+            err_msg=f"trial {trial}",
+        )
+
+
 def test_dp_no_obstacle_straight():
     dp_s, dp_l, feas = run_dp([])
     np.testing.assert_allclose(np.asarray(dp_l), 0.0)
