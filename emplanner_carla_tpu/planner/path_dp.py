@@ -201,8 +201,7 @@ def path_dp(
     rows, cols, m = cfg.rows, cfg.cols, cfg.n_edge_samples
     h = cfg.sample_s
     l_grid = jnp.asarray(grid_l_values(cfg), jnp.float32)
-    trans_l, trans_base, u_np = _transition_geometry(cfg)
-    trans_l = jnp.asarray(trans_l)        # (rows, rows, m)
+    _, trans_base, u_np = _transition_geometry(cfg)
     trans_base = jnp.asarray(trans_base)  # (rows, rows)
     u = jnp.asarray(u_np, jnp.float32)    # (m,)
 
@@ -221,15 +220,10 @@ def path_dp(
         + cfg.w_ref * jnp.sum(l0**2, -1)
     )  # (rows,)
 
-    # sample s offsets: edge j spans [plan_start_s + j*h, +h), samples at k*h/m
-    s_samples = plan_start_s + (
-        jnp.arange(cols, dtype=jnp.float32)[:, None] * h
-        + u[None, :] * h
-    )  # (cols, m)
-
     # ---- obstacle costs ----
-    # start edge (column 0): (rows, m, K)
-    d2_start = (obs_s[None, None, :] - s_samples[0][None, :, None]) ** 2 + (
+    # start edge (column 0): samples at plan_start_s + u*h, (rows, m, K)
+    s0_samples = plan_start_s + u * h  # (m,)
+    d2_start = (obs_s[None, None, :] - s0_samples[None, :, None]) ** 2 + (
         obs_l[None, None, :] - l0[:, :, None]
     ) ** 2
     start_obs = _obs_cost(d2_start, obs_valid, cfg)  # (rows,)
