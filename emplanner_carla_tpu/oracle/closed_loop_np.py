@@ -335,15 +335,33 @@ def plan_cycle(global_xyTK, ego, obstacles, cfg, accel=0.0, dynamics=()):
     obs_sl = frenet_np.cartesian_to_sl(
         np.asarray(obstacles), sx, sy, sth, sk, s_map
     ) if len(obstacles) else (np.zeros(0), np.zeros(0))
-    # static gate (nearest within 30 m) + lateral band
+    # per-obstacle perception gates (mirror of perception.perceive: range +
+    # longitudinal behind-gate along the unit motion direction with the
+    # heading fallback below 0.5 m/s), then the reference's nearest-within-
+    # 30 m static gate and the reference-line lateral band. Without the
+    # behind-gate mirror a static just behind the ego (which the JAX side
+    # drops) clamps the oracle's corridor at its clipped first stations —
+    # found by the re-anchored per-cycle certification (44 cm in one cycle).
     keep_s, keep_l = [], []
     if len(obstacles):
-        d = [math.hypot(ox - x, oy - y) for ox, oy in obstacles]
-        if min(d) <= 30.0:
-            for (os_, ol_) in zip(*obs_sl):
-                if abs(ol_) < cfg.loop.lateral_gate:
-                    keep_s.append(os_)
-                    keep_l.append(ol_)
+        spdw = math.hypot(vxw, vyw)
+        if spdw < 0.5:
+            uxp, uyp = math.cos(phi), math.sin(phi)
+        else:
+            uxp, uyp = vxw / spdw, vyw / spdw
+        cand = []   # (s, l, dist) passing every per-obstacle gate
+        for (ox, oy), (os_, ol_) in zip(obstacles, zip(*obs_sl)):
+            dd = math.hypot(ox - x, oy - y)
+            lon = (ox - x) * uxp + (oy - y) * uyp
+            if (dd < cfg.loop.perception_range
+                    and lon > cfg.loop.behind_gate
+                    and abs(ol_) < cfg.loop.lateral_gate):
+                cand.append((os_, ol_, dd))
+        # nearest-within-30m gate over the already-gated set, like the JAX
+        # side's static_gate(static_mask & lat_ok, dist)
+        if cand and min(c[2] for c in cand) <= 30.0:
+            keep_s = [c[0] for c in cand]
+            keep_l = [c[1] for c in cand]
 
     axw = accel * math.cos(phi)
     ayw = accel * math.sin(phi)
@@ -745,16 +763,24 @@ def _speed_stage(target, ego, accel, dyn, cfg):
     return t_d, v_d
 
 
-def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5):
+def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5,
+                  applied0=0.0, accel0=0.0, arrived0=False):
     """Full EM closed loop (path + S-T speed planning), float64 — the
     oracle for closed_loop.simulate_full (test_10's intent, quirk Q10).
 
     statics: [(x, y)]; dynamics: [(x, y, vx, vy)] advancing at constant
     velocity each tick. Returns (traj_x, traj_y) per tick.
+
+    ``applied0``/``accel0`` seed the steering-actuator state and the
+    last-tick acceleration (which pins the plan-start ddl0) — used by the
+    re-anchored per-cycle certification to restart the oracle mid-run from
+    a JAX cycle-boundary state.
     """
     ego = ego0
-    applied = 0.0
-    accel = 0.0
+    applied = applied0
+    accel = accel0
+    arrived = arrived0
+    dest_x, dest_y = float(global_xyTK[0][-1]), float(global_xyTK[1][-1])
     steer_of = _steer_fn(cfg)
     step_of = _plant_fn(cfg)
     dyn = [list(d) for d in dynamics]
@@ -779,6 +805,14 @@ def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5):
             cmd = pid.step(ego[3], target_kmh)
             throttle = float(np.clip(cmd, 0, 1))
             brake = float(np.clip(-cmd, 0, 1))
+            # arrival emergency brake — mirror of the JAX loop's latch
+            # (closed_loop.simulate_full checks the pre-step ego each tick)
+            arrived = arrived or (
+                math.hypot(ego[0] - dest_x, ego[1] - dest_y)
+                < cfg.loop.arrival_dist
+            )
+            if arrived:
+                steer, throttle, brake = 0.0, 0.0, 1.0
             accel = (throttle * cfg.vehicle.max_accel
                      - brake * cfg.vehicle.max_brake_decel)
             ego, applied = step_of(ego, applied, steer, accel, cfg.vehicle,

@@ -45,6 +45,7 @@ def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
 def fleet_simulate(
     scenarios: Scenario, cfg: EMConfig, mesh: Mesh, full: bool = False,
     traffic: bool = False, behavior: str = "normal",
+    return_carry: bool = False,
 ):
     """Run the closed loop for a sharded scenario batch.
 
@@ -55,7 +56,9 @@ def fleet_simulate(
     ``full``). Returns (metrics, aggregates): per-scenario metrics
     (sharded like the input) and fleet-level aggregates reduced across
     the mesh with psum — lateral RMSE, mean speed, collision count,
-    scenario count.
+    scenario count. ``return_carry=True`` appends the final (sharded)
+    loop carry: ``(metrics, agg, carry)`` — the mesh-sharded state a
+    fleet checkpoint persists.
     """
     if traffic:
         def sim(gp, e, o, cfg):
@@ -70,7 +73,7 @@ def fleet_simulate(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(DATA_AXIS),),
-        out_specs=(P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P(), P(DATA_AXIS)),
         check_vma=False,
     )
     def run(sc: Scenario):
@@ -109,10 +112,10 @@ def fleet_simulate(
                 tot_dropped,
             ]
         )
-        return metrics, agg
+        return metrics, agg, carry
 
-    metrics, agg = jax.jit(run)(scenarios)
-    return metrics, {
+    metrics, agg, carry = jax.jit(run)(scenarios)
+    agg_d = {
         "lateral_rmse": agg[0],
         "mean_speed_kmh": agg[1],
         "collisions": agg[2],
@@ -120,3 +123,6 @@ def fleet_simulate(
         "infeasible_cycles": agg[4],
         "segments_dropped": agg[5],
     }
+    if return_carry:
+        return metrics, agg_d, carry
+    return metrics, agg_d

@@ -914,16 +914,23 @@ def _traffic_tick_dispatch(cfg: EMConfig, behavior: str):
     return f
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "record_cycle_states"))
 def simulate_full(
     global_path: Path,
     ego0: EgoState,
     obstacles0: Obstacles,
     cfg: EMConfig,
     lights=None,
+    record_cycle_states: bool = False,
 ) -> tuple[LoopCarry, TickMetrics]:
     """The FULL EM closed loop: path + S-T speed planning every replan, the
     controller tracking the time-parameterized trajectory.
+
+    ``record_cycle_states=True`` additionally returns the ego state at the
+    START of every plan cycle, shape (n_plans, ...) — the anchor states the
+    re-anchored per-cycle oracle certification restarts the float64 oracle
+    from (tests/test_fidelity.py::test_full_em_per_cycle_reanchored):
+    ``(carry, metrics, cycle_egos)``.
 
     This is the loop the reference intended with ``test_10.py`` but never
     ran (quirk Q10): the lateral controller follows the merged trajectory's
@@ -1038,11 +1045,13 @@ def simulate_full(
                 res.segments_dropped, metrics.x.shape
             )
         )
-        return (
-            LoopCarry(ego, cs, res.path.match_index, obs, arrived,
-                      _sanitize((res.path.qp_state, res.speed_qp_state))),
-            metrics,
+        new_carry = LoopCarry(
+            ego, cs, res.path.match_index, obs, arrived,
+            _sanitize((res.path.qp_state, res.speed_qp_state)),
         )
+        if record_cycle_states:
+            return new_carry, (metrics, carry.ego)
+        return new_carry, metrics
 
     carry0 = LoopCarry(
         ego0,
@@ -1052,9 +1061,13 @@ def simulate_full(
         jnp.zeros((), bool),
         em_planner.warm_init(cfg, full=True),
     )
-    return jax.lax.scan(
+    carry, ys = jax.lax.scan(
         plan_cycle, carry0, jnp.arange(lp.n_plans, dtype=jnp.int32)
     )
+    if record_cycle_states:
+        metrics, cycle_egos = ys
+        return carry, metrics, cycle_egos
+    return carry, ys
 
 
 def summarize(metrics: TickMetrics):

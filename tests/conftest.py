@@ -68,6 +68,15 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/emplanner_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight fidelity/pixel/camera regressions — the inner "
+        "development loop runs `pytest -m 'not slow'` (~8 min); CI / "
+        "pre-commit runs the full suite",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
