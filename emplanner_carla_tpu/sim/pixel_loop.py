@@ -18,19 +18,26 @@ the ESTIMATED obstacles; the true-world collision channel is recomputed
 from the recorded ego poses against closed-form constant-velocity truth).
 
 Safety characterization (measured at batch 4096 x 20 cycles on the bench
-distribution): with PATH-ONLY planning the loop grazes parked cars in
-~4.6% of scenarios (187/4096; clearances land at 1.45-1.50 m against the
-1.5 m radius). Root cause is the planner MODE, not the camera: the same
-path-only loop on ground truth grazes 3.4% (140/4096) — tight random
-geometry threaded at speed through the soft corridor, the same hole the
+distribution, across seeds 3/5/7/11): with PATH-ONLY planning the loop
+grazes parked cars in 4.8-5.9% of scenarios (195-241/4096 per seed;
+clearances land at 1.45-1.50 m against the 1.5 m radius). Root cause is
+the planner MODE, not the camera: the same path-only loop on ground
+truth grazes 3.4% (140/4096 on its seed) — tight random geometry
+threaded at speed through the soft corridor, the same hole the
 reference's test_9 config has (its DP follows colliding paths outright
-when infeasible) — and perception noise (~0.35 m/pixel of bearing
-quantization at 20 m) converts more near-misses into grazes. ``full=True``
-(the complete EM cycle with S-T speed planning on the estimates) measures
-**0/4096 collisions from pixels alone** at 125.6k cycles/s: the speed
-planner slows through tight geometry, which inflated-margin and
-longer-track-memory experiments could not fix (both measured worse and
-were reverted; see CLAUDE.md round-3 notes).
+when infeasible) — and perception noise converts more near-misses into
+grazes. The pixel excess is bearing quantization at the LAST-REPLAN
+range (~17 cm lateral at 10 m with the 96-px camera), not track memory:
+the round-4 velocity-confidence coast gate + inverse-variance static
+position fusion (``update_tracks``) cut mean matched perception error
+0.191 -> 0.178 m and structurally eliminate the moving-object ghost
+class, but collision counts stay within the +-20/4096 cross-seed noise
+(measured both ways over 4 seeds), because a graze needs only ~5 cm of
+corridor error at the margin. ``full=True`` (the complete EM cycle with
+S-T speed planning on the estimates) measures **0/4096 collisions from
+pixels alone**: the speed planner slows through tight geometry, which
+inflated-margin and longer-track-memory experiments could not fix (both
+measured worse and were reverted; see CLAUDE.md round-3 notes).
 """
 
 from __future__ import annotations
@@ -58,18 +65,31 @@ class Tracks(NamedTuple):
     vx: Array
     vy: Array
     valid: Array
-    misses: Array  # consecutive cycles without a matching detection
+    misses: Array       # consecutive cycles without a matching detection
+    static_conf: Array  # consecutive MATCHES with near-zero velocity
+    prec: Array         # accumulated position precision (1/sigma^2 proxy)
 
     @classmethod
     def init(cls, d: int):
         z = jnp.zeros(d, jnp.float32)
-        return cls(z, z, z, z, jnp.zeros(d, bool), jnp.zeros(d, jnp.int32))
+        zi = jnp.zeros(d, jnp.int32)
+        return cls(z, z, z, z, jnp.zeros(d, bool), zi, zi, z)
 
 
 ASSOC_GATE = 12.0    # m: association radius around the CV-predicted track
 VEL_EMA = 0.5        # velocity estimate smoothing
 VEL_MAX = 25.0       # m/s sanity clamp: faster implied motion = new object
 MAX_MISSES = 2       # cycles an unmatched track coasts before it dies
+STATIC_V = 0.5       # m/s: below this a matched track counts as static
+STATIC_CONF = 2      # matches needed before a track is CONFIRMED static
+STATIC_MAX_MISSES = 4   # coast budget for confirmed-static tracks: covers
+#   the 1-2 cycle pass window after a parked car leaves the forward FOV
+#   with margin; beyond ~3 cycles the planner's behind-gate (-10 m at
+#   ~10 m/s, one plan period) drops the obstacle anyway, and longer
+#   budgets only accumulate stale coasting tracks in the perception-error
+#   stream (12-cycle budget measured: mean matched err 0.19 -> 0.20,
+#   collisions unchanged within the +-20/4096 cross-seed noise)
+PREC_DECAY = 0.7     # geometric forgetting of accumulated position evidence
 
 
 def update_tracks(
@@ -93,6 +113,17 @@ def update_tracks(
     ``MAX_MISSES`` consecutive cycles before dying, compacted into the
     detection slots left invalid this cycle. Fixed shapes throughout:
     detections and tracks share the detector's slot count.
+
+    Velocity-confidence gate (round-3 verdict item): tracks CONFIRMED
+    static — matched on ``STATIC_CONF`` consecutive cycles with an EMA
+    speed under ``STATIC_V`` — earn the long ``STATIC_MAX_MISSES`` coast
+    budget, so a parked car that leaves the forward camera's frame stays
+    in the planner's obstacle set while the ego passes it (the 20-cycle
+    blind-spot grazes). Gating on *confirmed* static is the load-bearing
+    part: a fresh track of a MOVING object is born at v=0, and round 3
+    measured that coasting those on the raw velocity estimate ghosts
+    them in-lane (perc_err 0.19 -> 0.38, collisions 187 -> 190); one
+    match never confirms, so fresh tracks keep the short budget.
     """
     px = tracks.x + tracks.vx * plan_dt
     py = tracks.y + tracks.vy * plan_dt
@@ -102,25 +133,61 @@ def update_tracks(
     ok = det.valid[:, None] & tracks.valid[None, :]
     d2 = jnp.where(ok, d2, jnp.inf)
     j = jnp.argmin(d2, axis=1)
-    matched = jnp.take_along_axis(d2, j[:, None], 1)[:, 0] < ASSOC_GATE**2
+    matched = jnp.min(d2, axis=1) < ASSOC_GATE**2
 
-    vx_fd = (det.x - tracks.x[j]) / plan_dt
-    vy_fd = (det.y - tracks.y[j]) / plan_dt
+    # every per-detection read of the matched track's state goes through
+    # ONE one-hot contraction (the module's gather idiom): under the fleet
+    # vmap, per-lane-index gathers lower to serial loops on TPU — adding
+    # six of them here measured the whole pixel loop 6% slower
+    ej = j[:, None] == jnp.arange(tracks.x.shape[0])[None, :]
+
+    def at_j(a):
+        return jnp.sum(jnp.where(ej, a[None, :], 0), axis=1)
+
+    vx_fd = (det.x - at_j(tracks.x)) / plan_dt
+    vy_fd = (det.y - at_j(tracks.y)) / plan_dt
     matched = matched & (jnp.hypot(vx_fd, vy_fd) < VEL_MAX)
     vx = jnp.where(
-        matched, VEL_EMA * vx_fd + (1 - VEL_EMA) * tracks.vx[j], 0.0
+        matched, VEL_EMA * vx_fd + (1 - VEL_EMA) * at_j(tracks.vx), 0.0
     )
     vy = jnp.where(
-        matched, VEL_EMA * vy_fd + (1 - VEL_EMA) * tracks.vy[j], 0.0
+        matched, VEL_EMA * vy_fd + (1 - VEL_EMA) * at_j(tracks.vy), 0.0
     )
+    slow = matched & (jnp.hypot(vx, vy) < STATIC_V)
+    conf = jnp.where(slow, at_j(tracks.static_conf) + 1, 0)
+    # a CONFIRMED static is pinned: residual quantization-noise velocity
+    # (up to STATIC_V) would otherwise drift the estimate by v*plan_dt
+    # per coasted cycle — 12-cycle budgets turn that into metres of ghost
+    # motion (measured: mean matched error 0.19 -> 0.37 m)
+    confirmed = conf >= STATIC_CONF
+    vx = jnp.where(confirmed, 0.0, vx)
+    vy = jnp.where(confirmed, 0.0, vy)
+    # static-position refinement: a parked car's detections scatter by the
+    # camera's bearing quantization, whose world-frame magnitude scales
+    # with RANGE (~0.35 m/pixel at 20 m). Fuse the sightings of a
+    # static-consistent track inverse-variance weighted (precision
+    # ~ 1/depth^2), so as the ego closes in, the accurate near-range
+    # detections dominate the fused estimate instead of being diluted by
+    # early far-range noise (a flat running mean measured WORSE than raw:
+    # collisions 194 -> 199 at batch 4096). PREC_DECAY forgets old
+    # evidence geometrically so a mis-classified creeping object can
+    # still drag the estimate along. Moving tracks keep the raw detection
+    # (position lag would corrupt the finite-difference velocity chain).
+    p_det = 1.0 / jnp.maximum(det.depth, 1.0) ** 2
+    p_old = at_j(tracks.prec) * PREC_DECAY
+    p_new = jnp.where(slow, p_old + p_det, p_det)
+    w = jnp.where(slow, p_old / jnp.maximum(p_old + p_det, 1e-12), 0.0)
+    x_upd = w * at_j(tracks.x) + (1.0 - w) * det.x
+    y_upd = w * at_j(tracks.y) + (1.0 - w) * det.y
 
     # coast candidates: old valid tracks no detection claimed, under the
-    # miss budget, advanced to their predicted pose
-    d = det.x.shape[0]
-    claimed = (
-        jnp.zeros(d, jnp.int32).at[j].max(matched.astype(jnp.int32)) > 0
+    # per-track miss budget (long for confirmed statics), advanced to
+    # their predicted pose
+    claimed = jnp.any(ej & matched[:, None], axis=0)
+    budget = jnp.where(
+        tracks.static_conf >= STATIC_CONF, STATIC_MAX_MISSES, MAX_MISSES
     )
-    coast = tracks.valid & ~claimed & (tracks.misses < MAX_MISSES)
+    coast = tracks.valid & ~claimed & (tracks.misses < budget)
     # compact the k-th coasting track into the k-th invalid detection slot
     # (ranks via cumsum). Capacity trade-off: when fresh detections claim
     # more slots than they matched tracks (new objects appearing while
@@ -131,27 +198,46 @@ def update_tracks(
     free = ~det.valid
     coast_rank = jnp.cumsum(coast.astype(jnp.int32)) - 1      # rank among coasters
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1        # rank among free slots
-    # for each free slot (rank r), the coaster with rank r (if any)
-    src = jnp.argmax(
+    # one-hot (free slot, coaster) selection matrix: for each free slot
+    # (rank r), the coaster with rank r (if any) — read through it with
+    # the same masked contraction as `at_j`, no per-lane gathers
+    sel = (
         (coast_rank[None, :] == free_rank[:, None])
-        & coast[None, :] & free[:, None],
-        axis=1,
+        & coast[None, :] & free[:, None]
     )
-    has_src = jnp.any(
-        (coast_rank[None, :] == free_rank[:, None])
-        & coast[None, :] & free[:, None],
-        axis=1,
-    )
-    take = free & has_src
-    out_x = jnp.where(det.valid, det.x, jnp.where(take, px[src], 0.0))
-    out_y = jnp.where(det.valid, det.y, jnp.where(take, py[src], 0.0))
-    out_vx = jnp.where(det.valid, vx, jnp.where(take, tracks.vx[src], 0.0))
-    out_vy = jnp.where(det.valid, vy, jnp.where(take, tracks.vy[src], 0.0))
+    take = free & jnp.any(sel, axis=1)
+
+    def at_src(a):
+        return jnp.sum(jnp.where(sel, a[None, :], 0), axis=1)
+
+    # coasting statics HOLD position (their stored velocity is already 0,
+    # but the explicit select keeps the invariant obvious and robust to a
+    # track confirmed under an older, nonzero velocity estimate)
+    coast_static = at_src(tracks.static_conf) >= STATIC_CONF
+    cx = jnp.where(coast_static, at_src(tracks.x), at_src(px))
+    cy = jnp.where(coast_static, at_src(tracks.y), at_src(py))
+    out_x = jnp.where(det.valid, x_upd, jnp.where(take, cx, 0.0))
+    out_y = jnp.where(det.valid, y_upd, jnp.where(take, cy, 0.0))
+    cvx = jnp.where(coast_static, 0.0, at_src(tracks.vx))
+    cvy = jnp.where(coast_static, 0.0, at_src(tracks.vy))
+    out_vx = jnp.where(det.valid, vx, jnp.where(take, cvx, 0.0))
+    out_vy = jnp.where(det.valid, vy, jnp.where(take, cvy, 0.0))
     out_valid = det.valid | take
     out_miss = jnp.where(
-        det.valid, 0, jnp.where(take, tracks.misses[src] + 1, 0)
+        det.valid, 0, jnp.where(take, at_src(tracks.misses) + 1, 0)
     )
-    return Tracks(out_x, out_y, out_vx, out_vy, out_valid, out_miss)
+    # coasting preserves static confidence and accumulated precision (no
+    # new match, no new evidence)
+    out_conf = jnp.where(
+        det.valid, conf, jnp.where(take, at_src(tracks.static_conf), 0)
+    )
+    out_prec = jnp.where(
+        det.valid, p_new, jnp.where(take, at_src(tracks.prec), 0.0)
+    )
+    return Tracks(
+        out_x, out_y, out_vx, out_vy, out_valid, out_miss, out_conf,
+        out_prec,
+    )
 
 
 class PixelCarry(NamedTuple):

@@ -127,6 +127,66 @@ def test_track_coasts_through_detection_gaps():
     assert not bool(tr.valid.any())
 
 
+def test_confirmed_static_track_earns_long_coast_budget():
+    """Velocity-confidence gate (round-3 verdict item 3): a track matched
+    STATIC_CONF consecutive cycles at near-zero velocity coasts through
+    STATIC_MAX_MISSES detection gaps (parked car leaving the camera
+    frame), while a FRESH track — even one born at v=0, the moving-object
+    ghost hazard — keeps the short MAX_MISSES budget."""
+    from emplanner_carla_tpu.sim import detector
+
+    d = 4
+    plan_dt = 1.0
+    none_row = jnp.zeros(d, jnp.float32)
+
+    def det_at(x, valid=True):
+        zi = jnp.zeros(d, jnp.int32)
+        return detector.Detections(
+            zi, zi, zi, zi, none_row, none_row,
+            none_row.at[0].set(x), none_row, zi,
+            jnp.zeros(d, bool).at[0].set(valid),
+        )
+
+    none = det_at(0.0, valid=False)
+
+    # confirmed static: birth + STATIC_CONF stationary re-matches
+    tr = pixel_loop.Tracks.init(d)
+    tr = pixel_loop.update_tracks(det_at(30.0), tr, plan_dt)  # birth
+    for _ in range(pixel_loop.STATIC_CONF):
+        tr = pixel_loop.update_tracks(det_at(30.0), tr, plan_dt)
+    i = int(np.argmax(np.asarray(tr.valid)))
+    assert int(tr.static_conf[i]) >= pixel_loop.STATIC_CONF
+    # survives far past MAX_MISSES, holding its position
+    for k in range(1, pixel_loop.STATIC_MAX_MISSES + 1):
+        tr = pixel_loop.update_tracks(none, tr, plan_dt)
+        assert bool(tr.valid.any()), f"confirmed static died on miss {k}"
+        i = int(np.argmax(np.asarray(tr.valid)))
+        assert float(tr.x[i]) == pytest.approx(30.0, abs=1e-4)
+    tr = pixel_loop.update_tracks(none, tr, plan_dt)
+    assert not bool(tr.valid.any())  # budget exhausted
+
+    # fresh track, one sighting only (could be a moving object born at
+    # v=0): short budget, no ghost
+    tr = pixel_loop.Tracks.init(d)
+    tr = pixel_loop.update_tracks(det_at(30.0), tr, plan_dt)
+    assert int(tr.static_conf[int(np.argmax(np.asarray(tr.valid)))]) == 0
+    for _ in range(pixel_loop.MAX_MISSES):
+        tr = pixel_loop.update_tracks(none, tr, plan_dt)
+        assert bool(tr.valid.any())
+    tr = pixel_loop.update_tracks(none, tr, plan_dt)
+    assert not bool(tr.valid.any())
+
+    # a MOVING track never confirms static even after many matches
+    tr = pixel_loop.Tracks.init(d)
+    x = 30.0
+    tr = pixel_loop.update_tracks(det_at(x), tr, plan_dt)
+    for _ in range(4):
+        x += 5.0 * plan_dt
+        tr = pixel_loop.update_tracks(det_at(x), tr, plan_dt)
+    i = int(np.argmax(np.asarray(tr.valid)))
+    assert int(tr.static_conf[i]) == 0
+
+
 def test_batched_detection_quality():
     """Round-2 verdict item 5: the pixel loop's detection quality bounded
     ACROSS SEEDS, not just one scenario — a vmapped fleet over the bench
