@@ -122,13 +122,36 @@ def main():
 
     # --- config 6: routed fleet — global paths from A* over the curved
     # town (test_9.py:295-313's route-then-drive structure at fleet scale;
-    # host routing is setup, the timed region is the compiled drive) ---
-    rs = scenario.routed_scenarios(jax.random.PRNGKey(2), B, cfg)
+    # routing runs ON DEVICE via routed_scenarios_device; the timed drive
+    # region is the compiled closed loop) ---
+    rs = scenario.routed_scenarios_device(jax.random.PRNGKey(2), B, cfg)
     sr = rs.scenario
     t = timed(f5, sr.global_path, sr.ego0, sr.obstacles)
     results.append({"config": "6_routed_fleet_full_em",
                     "value": round(B * cfg.loop.n_plans / t, 1),
                     "unit": "cycles/s"})
+    print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
+
+    # --- config 6b: the batched on-device route engine itself — A* +
+    # backtrack + polyline stitch for B (origin, destination) queries in
+    # one XLA program (the reference routes ONE pair per drive on the
+    # host, global_planning.py:153-272) ---
+    from emplanner_carla_tpu.routing import astar, graph as graph_mod
+
+    town = graph_mod.grid_town_curved()
+    kr = jax.random.split(jax.random.PRNGKey(7))
+    origins = jax.random.randint(kr[0], (B,), 0, town.n_nodes)
+    dests = jax.random.randint(kr[1], (B,), 0, town.n_nodes)
+
+    def route_one(o, d):
+        route, valid, reached = astar.route_nodes_device(town, o, d)
+        x, y, n, _ = astar.stitch_route_device(town, route, valid, 256)
+        return jnp.where(reached, x[0] + y[0] + n, 0.0)
+
+    f6b = jax.jit(jax.vmap(route_one))
+    t = timed(f6b, origins, dests)
+    results.append({"config": "6b_device_route_queries",
+                    "value": round(B / t, 1), "unit": "routes/s"})
     print(json.dumps({**results[-1], "batch": B, "chips": 1}), flush=True)
 
     # --- config 7: agent-traffic fleet, full EM — the test_9-faithful

@@ -56,54 +56,199 @@ def astar_device(g: RoadGraph, start, goal):
 
     Returns (parent, found): parent (N,) backtracking table and a success
     flag. Path extraction happens host-side (it is inherently sequential
-    and tiny) or via ``route_nodes``.
+    and tiny) or via ``route_nodes_device``.
+
+    Shape discipline: a fixed N-iteration ``fori_loop`` (A* closes one
+    node per pop, so N pops suffice; early exit buys nothing for
+    lockstep vmap lanes on TPU) with every pop/relax step expressed as
+    one-hot mask arithmetic over the (N,) state vectors — NO per-lane
+    dynamic gathers or scatters and NO batched ``while_loop`` cond.
+    The earlier scatter-based ``while_loop`` version was both ~50x
+    slower under a 4096-lane vmap AND mis-executed by the TPU backend
+    at batch >= ~1024 (lanes exited with it=0 / it=N garbage; identical
+    program correct on the CPU backend) — the one-hot form is the same
+    fix CLAUDE.md records for frenet/pixel-tracker gathers.
     """
-    import jax
     import jax.numpy as jnp
+    from jax import lax
 
     n = g.n_nodes
-    adj = jnp.asarray(g.adj)
-    adj_edge = jnp.asarray(g.adj_edge)
+    adj = jnp.asarray(g.adj)                       # (N, D) successor ids
+    adj_edge = jnp.asarray(g.adj_edge)             # (N, D) edge ids
     edge_len = jnp.asarray(g.edge_len, jnp.float32)
     xy = jnp.asarray(g.nodes_xy, jnp.float32)
+    # per-row successor costs, padded slots -> +inf (trace-time constant)
+    step_cost = jnp.where(
+        adj_edge >= 0, edge_len[jnp.maximum(adj_edge, 0)], jnp.float32(1e30)
+    )                                              # (N, D)
+    iota = jnp.arange(n, dtype=jnp.int32)
 
     heur = jnp.hypot(xy[:, 0] - xy[goal, 0], xy[:, 1] - xy[goal, 1])
 
     INF = jnp.float32(1e30)
-    g_cost0 = jnp.full(n, INF).at[start].set(0.0)
+    g_cost0 = jnp.where(iota == start, 0.0, INF)
     parent0 = jnp.full(n, -1, jnp.int32)
-    in_open0 = jnp.zeros(n, bool).at[start].set(True)
+    in_open0 = iota == start
     closed0 = jnp.zeros(n, bool)
 
-    def cond(state):
-        g_cost, parent, in_open, closed, it = state
-        return jnp.any(in_open) & ~closed[goal] & (it < n)
+    def body(_, state):
+        g_cost, parent, in_open, closed = state
+        live = jnp.any(in_open) & ~closed[goal]
+        f = jnp.where(in_open & live, g_cost + heur, INF)
+        # one-hot of the pop: first index attaining the min
+        is_min = (f == jnp.min(f)) & in_open & live
+        pop = is_min & (jnp.cumsum(is_min.astype(jnp.int32)) == 1)  # (N,)
+        in_open = in_open & ~pop
+        closed = closed | pop
+        c = jnp.sum(jnp.where(pop, iota, 0))       # popped node id
+        # row c of adj/step_cost via one-hot contraction (no gather)
+        popf = pop.astype(jnp.float32)
+        succ = jnp.sum(jnp.where(pop[:, None], adj, 0), axis=0)      # (D,)
+        cost_c = jnp.sum(jnp.where(pop, g_cost, 0.0))
+        cand = jnp.where(
+            live, cost_c + jnp.sum(popf[:, None] * step_cost, axis=0), INF
+        )                                          # (D,)
+        # relax: scatter over columns as a (D, N) one-hot mask reduce
+        hit = (iota[None, :] == succ[:, None]) & (succ >= 0)[:, None]
+        relax = hit & (cand[:, None] < g_cost[None, :]) & ~closed[None, :]
+        new_cost = jnp.min(
+            jnp.where(relax, cand[:, None], INF), axis=0
+        )                                          # (N,)
+        improved = new_cost < g_cost
+        g_cost = jnp.where(improved, new_cost, g_cost)
+        parent = jnp.where(improved, c, parent)
+        in_open = in_open | improved
+        return g_cost, parent, in_open, closed
 
-    def body(state):
-        g_cost, parent, in_open, closed, it = state
-        f = jnp.where(in_open, g_cost + heur, INF)
-        c = jnp.argmin(f).astype(jnp.int32)
-        in_open = in_open.at[c].set(False)
-        closed = closed.at[c].set(True)
-        succ = adj[c]                      # (max_deg,)
-        e = adj_edge[c]
-        cand = g_cost[c] + jnp.where(e >= 0, edge_len[jnp.maximum(e, 0)], INF)
-        ok = (succ >= 0) & ~closed[jnp.maximum(succ, 0)]
-        better = ok & (cand < g_cost[jnp.maximum(succ, 0)])
-        idx = jnp.where(better, succ, n)   # scatter-drop invalid to row n
-        g_cost = g_cost.at[idx].min(jnp.where(better, cand, INF), mode="drop")
-        # parent/open update where improved
-        upd = better & (cand <= g_cost[jnp.maximum(succ, 0)] + 1e-6)
-        parent = parent.at[jnp.where(upd, succ, n)].set(c, mode="drop")
-        in_open = in_open.at[jnp.where(upd, succ, n)].set(True, mode="drop")
-        return g_cost, parent, in_open, closed, it + 1
-
-    import jax.lax as lax
-
-    g_cost, parent, in_open, closed, _ = lax.while_loop(
-        cond, body, (g_cost0, parent0, in_open0, closed0, 0)
+    g_cost, parent, in_open, closed = lax.fori_loop(
+        0, n, body, (g_cost0, parent0, in_open0, closed0)
     )
     return parent, closed[goal]
+
+
+def route_nodes_device(g: RoadGraph, start, goal, max_route: int | None = None):
+    """Device A* + device backtracking: (start, goal) -> fixed-shape route.
+
+    Returns ``(route, valid, reached)``: ``route`` (max_route,) node ids
+    ordered start->goal, ``valid`` the per-slot mask, ``reached`` the
+    success flag. vmaps over (start, goal) batches — the batched
+    route-query engine behind ``sim/scenario.routed_scenarios_device``
+    (the reference plans one route per drive on the host,
+    ``global_planning.py:153-233``; here thousands of queries run in one
+    XLA program).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = g.n_nodes
+    if max_route is None:
+        max_route = n
+    parent, found = astar_device(g, start, goal)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def step(node, _):
+        # parent[node] as a one-hot multiply-sum (frenet._gather pattern —
+        # per-lane gathers inside a vmapped scan are TPU poison)
+        nxt = jnp.sum(jnp.where(iota == node, parent, 0))
+        return jnp.where(nxt >= 0, nxt, node), node
+
+    _, rev = lax.scan(step, jnp.asarray(goal, jnp.int32), None,
+                      length=max_route)
+    # rev = [goal, parent(goal), ...] and repeats `start` once reached
+    # (parent[start] = -1 holds the node). Route length = first `start`
+    # hit + 1; anything after is padding.
+    is_start = rev == start
+    reached = found & jnp.any(is_start)
+    length = jnp.where(reached, jnp.argmax(is_start) + 1, 0)
+    idx = jnp.clip(length - 1 - jnp.arange(max_route), 0, max_route - 1)
+    route = jnp.sum(
+        jnp.where(jnp.arange(max_route)[None, :] == idx[:, None], rev, 0),
+        axis=1,
+    )
+    valid = jnp.arange(max_route) < length
+    return route, valid, reached
+
+
+def stitch_route_device(g: RoadGraph, route, valid, pad_to: int):
+    """Device-side ``stitch_route``: a fixed-shape node route -> one
+    (pad_to,) global polyline + per-point RoadOption stream.
+
+    Edge lookup is a masked match over the padded adjacency rows; the
+    polyline assembly is one one-hot position-mask reduction over
+    (route edges x edge points) with cumsum offsets (junction duplicates
+    dropped exactly as the host stitcher does). Rows past the route's
+    true length repeat the final point — the same padding contract as
+    ``plan_route(pad_to=...)``. Returns (x, y, n_valid, options).
+
+    Everything is mask-multiply-sum — no per-lane gathers/scatters at
+    all (under a 4096-lane vmap those are TPU poison, and the batched
+    ``while_loop``+scatter A* this feeds was outright mis-executed by
+    the TPU backend; see ``astar_device``).
+    """
+    import jax.numpy as jnp
+
+    adj = jnp.asarray(g.adj)                         # (N, D)
+    adj_edge = jnp.asarray(g.adj_edge)               # (N, D)
+    edge_path = jnp.nan_to_num(                      # NaN pad -> 0 (masked)
+        jnp.asarray(g.edge_path, jnp.float32)
+    )                                                # (E, P, 2)
+    edge_n = jnp.asarray(g.edge_n, jnp.int32)        # (E,)
+    edge_option = jnp.asarray(g.edge_option, jnp.int32)
+    E, P, _ = edge_path.shape
+    N = g.n_nodes
+
+    a, b = route[:-1], route[1:]                     # (R-1,)
+    pair_ok = valid[:-1] & valid[1:]
+    # rows adj[a], adj_edge[a] via one-hot over the N node rows
+    oh_a = a[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]  # (R-1, N)
+    adj_a = jnp.sum(jnp.where(oh_a[:, :, None], adj[None], 0), axis=1)
+    adje_a = jnp.sum(jnp.where(oh_a[:, :, None], adj_edge[None], 0), axis=1)
+    hit = (adj_a == b[:, None]) & (adj_a >= 0)       # (R-1, D)
+    eid = jnp.sum(jnp.where(hit, adje_a, 0), axis=1)
+    has = pair_ok & jnp.any(hit, axis=1)
+
+    # per-edge scalars/rows via one-hot over the E edges
+    oh_e = eid[:, None] == jnp.arange(E, dtype=jnp.int32)[None, :]  # (R-1, E)
+    en = jnp.sum(jnp.where(oh_e, edge_n[None, :], 0), axis=1)
+    eopt = jnp.sum(jnp.where(oh_e, edge_option[None, :], 0), axis=1)
+    pts = jnp.sum(
+        jnp.where(oh_e[:, :, None, None], edge_path[None], 0.0), axis=1
+    )                                                # (R-1, P, 2)
+
+    # edge e contributes its points[1:] (the junction point is emitted by
+    # the previous edge); the route's very first point is edge 0's point 0
+    n_pts = jnp.where(has, en - 1, 0)
+    off = jnp.cumsum(n_pts) - n_pts + 1              # output start per edge
+    n_valid = jnp.minimum(1 + jnp.sum(n_pts), pad_to)
+
+    p_idx = jnp.arange(1, P)
+    pos = off[:, None] + (p_idx[None, :] - 1)        # (R-1, P-1)
+    keep = has[:, None] & (p_idx[None, :] < en[:, None]) & (pos < pad_to)
+    pos = jnp.where(keep, pos, -1)
+    src_xy = jnp.where(keep[..., None], pts[:, 1:], 0.0).reshape(-1, 2)
+    src_opt = jnp.where(keep, eopt[:, None], 0).reshape(-1)
+    flat_pos = pos.reshape(-1)                       # (S,) with -1 = dropped
+    # position one-hot: (pad_to, S) mask reduce replaces the scatter-add
+    oh_p = flat_pos[None, :] == jnp.arange(pad_to, dtype=pos.dtype)[:, None]
+    xy = jnp.sum(jnp.where(oh_p[:, :, None], src_xy[None], 0.0), axis=1)
+    opt = jnp.sum(jnp.where(oh_p, src_opt[None, :], 0), axis=1)
+    # first point: point 0 of the first valid edge
+    first = jnp.argmax(has)
+    oh_f = (jnp.arange(has.shape[0]) == first) & has
+    pt0 = jnp.sum(jnp.where(oh_f[:, None], pts[:, 0], 0.0), axis=0)
+    opt0 = jnp.sum(jnp.where(oh_f, eopt, 0))
+    row0 = jnp.arange(pad_to) == 0
+    xy = jnp.where(row0[:, None], pt0[None, :], xy)
+    opt = jnp.where(row0, opt0, opt)
+    # repeat the final valid point through the padded tail
+    last = jnp.maximum(n_valid - 1, 0)
+    oh_l = jnp.arange(pad_to) == last
+    xy_l = jnp.sum(jnp.where(oh_l[:, None], xy, 0.0), axis=0)
+    opt_l = jnp.sum(jnp.where(oh_l, opt, 0))
+    in_route = jnp.arange(pad_to) < n_valid
+    xy = jnp.where(in_route[:, None], xy, xy_l[None, :])
+    opt = jnp.where(in_route, opt, opt_l)
+    return xy[:, 0], xy[:, 1], n_valid, opt
 
 
 def stitch_route(g: RoadGraph, route: list[int], with_options: bool = False):

@@ -275,3 +275,75 @@ def routed_scenarios(
         )
     )(keys, gps, n_valid)
     return RoutedScenarios(sc, options, n_valid)
+
+
+def routed_scenarios_device(
+    key: Array,
+    batch: int,
+    cfg: EMConfig,
+    town=None,
+    pad_to: int = 256,
+    min_points: int = 120,
+    oversample: int = 8,
+    **kw,
+) -> RoutedScenarios:
+    """``routed_scenarios`` with the route queries themselves ON DEVICE:
+    batched ``routing.astar.astar_device`` + device backtracking +
+    device polyline stitching (``route_nodes_device`` /
+    ``stitch_route_device``), one vmapped XLA program for the whole
+    fleet's routes — the production consumer of the device A* engine
+    (the reference's ``search_path_way`` routes one pair on the host per
+    drive, ``global_planning.py:153-272``).
+
+    Candidate (origin, destination) node pairs are oversampled
+    ``oversample`` x, routed in one batch, and the first ``batch`` routes
+    meeting ``min_points`` are kept (only the tiny per-route length
+    vector is pulled to the host for the selection; paths stay on
+    device). Downstream population is identical to ``routed_scenarios``.
+    """
+    import numpy as np
+
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.routing import astar, graph as graph_mod
+
+    if town is None:
+        town = graph_mod.grid_town_curved()
+    k_route, k_pop = jax.random.split(key)
+    N = town.n_nodes
+
+    n_cand = oversample * batch
+    k_o, k_d = jax.random.split(k_route)
+    origins = jax.random.randint(k_o, (n_cand,), 0, N)
+    dests = jax.random.randint(k_d, (n_cand,), 0, N)
+
+    def one(o, d):
+        route, valid, reached = astar.route_nodes_device(town, o, d)
+        x, y, n, opt = astar.stitch_route_device(town, route, valid, pad_to)
+        ok = reached & (o != d) & (n >= min_points)
+        return x, y, n, opt, ok
+
+    x_all, y_all, n_all, opt_all, ok = jax.jit(jax.vmap(one))(origins, dests)
+    sel = np.flatnonzero(np.asarray(ok))
+    if len(sel) < batch:
+        raise ValueError(
+            f"only {len(sel)}/{batch} routable pairs at oversample="
+            f"{oversample}; raise oversample"
+        )
+    sel = jnp.asarray(sel[:batch])
+    x_all, y_all = x_all[sel], y_all[sel]
+    n_valid, options = n_all[sel], opt_all[sel]
+
+    gps = jax.vmap(frenet.path_from_xy)(x_all, y_all)
+    idx = jnp.minimum(jnp.arange(pad_to)[None, :], n_valid[:, None] - 1)
+    gps = gps._replace(
+        theta=jnp.take_along_axis(gps.theta, idx, axis=1),
+        kappa=jnp.take_along_axis(gps.kappa, idx, axis=1),
+    )
+    keys = jax.random.split(k_pop, batch)
+    resolution = 2.0
+    sc = jax.vmap(
+        lambda k, gp, n: populate_scenario(
+            k, cfg, gp, n.astype(jnp.float32) * resolution, **kw
+        )
+    )(keys, gps, n_valid)
+    return RoutedScenarios(sc, options, n_valid)

@@ -226,3 +226,72 @@ def test_multilane_route_feeds_planner():
     res = em_planner.plan_path_cycle(gp, ego, obs, jnp.int32(0), cfg)
     assert bool(res.feasible)
     assert bool(jnp.all(jnp.isfinite(res.target.x)))
+
+
+def test_device_route_and_stitch_matches_host(town):
+    """route_nodes_device + stitch_route_device (the batched on-device
+    route engine behind scenario.routed_scenarios_device) must produce
+    host-optimal costs and, for the device's own node route, EXACTLY the
+    host stitcher's polyline/options/padding."""
+    import jax
+    import jax.numpy as jnp
+
+    pairs = [(0, 15), (3, 12), (1, 14), (7, 8), (13, 2)]
+    o = jnp.asarray([p[0] for p in pairs])
+    d = jnp.asarray([p[1] for p in pairs])
+    f = jax.jit(jax.vmap(
+        lambda a, b: astar.route_nodes_device(town, a, b)
+    ))
+    routes, valids, reached = f(o, d)
+    g = jax.jit(jax.vmap(
+        lambda r, v: astar.stitch_route_device(town, r, v, 256)
+    ))
+    xs, ys, ns, opts = g(routes, valids)
+
+    cost = lambda r: sum(
+        town.edge_len[town.edge_between(a, b)]
+        for a, b in zip(r[:-1], r[1:])
+    )
+    for i, (start, goal) in enumerate(pairs):
+        assert bool(reached[i])
+        L = int(np.asarray(valids[i]).sum())
+        r = np.asarray(routes[i])[:L].tolist()
+        assert r[0] == start and r[-1] == goal
+        ref = astar.astar_host(town, start, goal)
+        assert cost(r) == pytest.approx(cost(ref), rel=1e-6)
+        # stitching: exact vs the host stitcher on the SAME node route
+        path, opt_h = astar.stitch_route(town, r, with_options=True)
+        n = min(len(path), 256)
+        assert int(ns[i]) == n
+        np.testing.assert_allclose(
+            np.asarray(xs[i])[:n], path[:n, 0], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ys[i])[:n], path[:n, 1], atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(opts[i])[:n], opt_h[:n])
+        # padded tail repeats the final point (plan_route's contract)
+        assert np.all(np.asarray(xs[i])[n:] == path[n - 1, 0])
+
+
+def test_routed_scenarios_device_fleet():
+    """The device-routed fleet constructor: valid scenarios, finite paths,
+    and the same downstream contract as routed_scenarios."""
+    import jax
+    import jax.numpy as jnp
+
+    from emplanner_carla_tpu.config import EMConfig
+    from emplanner_carla_tpu.sim import scenario
+
+    cfg = EMConfig()
+    rs = scenario.routed_scenarios_device(jax.random.PRNGKey(2), 16, cfg)
+    sc = rs.scenario
+    assert sc.global_path.x.shape == (16, 256)
+    assert bool(jnp.all(jnp.isfinite(sc.global_path.x)))
+    assert bool(jnp.all(jnp.isfinite(sc.global_path.theta)))
+    assert bool(jnp.all(rs.n_valid >= 120))
+    # ego starts on its route
+    d0 = jnp.hypot(
+        sc.ego0.x - sc.global_path.x[:, 0], sc.ego0.y - sc.global_path.y[:, 0]
+    )
+    assert bool(jnp.all(jnp.isfinite(d0)))
