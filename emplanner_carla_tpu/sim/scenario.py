@@ -189,6 +189,61 @@ def lights_on_path(
     )
 
 
+def test9_scenario(
+    cfg: EMConfig, v0: float = 8.0, pad_to: int = 256
+) -> tuple[Scenario, Array]:
+    """The reference's headline scenario, scenario-identical: the recorded
+    Town05 sub-network (``routing.graph.town05_test9``), ego routed from
+    the spawn-259 stand-in to the spawn-48 stand-in, the three parked cars
+    and the BehaviorAgent NPC at the reference's *pinned world coordinates*
+    (``/root/reference/test_9.py:259-291``; NPC target 30 km/h on the
+    ego's own route). Returns ``(scenario, n_valid_path_points)``.
+
+    Drive it with ``closed_loop.simulate_traffic`` — the NPC slot runs the
+    agent model on the ego's route exactly like the reference's
+    ``BehaviorAgent`` (``test_9.py:288-291,344``).
+    """
+    import numpy as np
+
+    from emplanner_carla_tpu.routing import astar, graph as graph_mod
+
+    town = graph_mod.town05_test9()
+    x, y, n_valid, _ = astar.plan_route(
+        town, graph_mod.TEST9_EGO_SPAWN, graph_mod.TEST9_DESTINATION,
+        pad_to=pad_to, with_options=True,
+    )
+    gp = frenet.path_from_xy(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    )
+    idx = jnp.minimum(jnp.arange(pad_to), n_valid - 1)
+    gp = gp._replace(theta=gp.theta[idx], kappa=gp.kappa[idx])
+
+    K = cfg.n_static_obs + cfg.n_dynamic_obs
+    ox = np.zeros(K, np.float32)
+    oy = np.zeros(K, np.float32)
+    ovx = np.zeros(K, np.float32)
+    ovy = np.zeros(K, np.float32)
+    valid = np.zeros(K, bool)
+    statics = graph_mod.TEST9_STATICS
+    if len(statics) > cfg.n_static_obs:
+        raise ValueError("cfg.n_static_obs too small for the fixture")
+    for i, (sx, sy, _yaw) in enumerate(statics):
+        ox[i], oy[i], valid[i] = sx, sy, True
+    d0 = cfg.n_static_obs
+    nx, ny, nspeed = graph_mod.TEST9_NPC
+    ox[d0], oy[d0] = nx, ny
+    ovy[d0] = nspeed                    # spawn road heads +y
+    valid[d0] = True
+    obstacles = Obstacles(*(jnp.asarray(a) for a in (ox, oy, ovx, ovy, valid)))
+
+    z = jnp.zeros(())
+    ego0 = EgoState(
+        gp.x[0], gp.y[0], gp.theta[0], jnp.asarray(v0, jnp.float32),
+        z, z, z, z, z,
+    )
+    return Scenario(gp, ego0, obstacles), jnp.asarray(n_valid, jnp.int32)
+
+
 class RoutedScenarios(NamedTuple):
     """A fleet whose global paths come from A* routes over a road graph."""
 
