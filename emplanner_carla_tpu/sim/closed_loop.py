@@ -765,12 +765,29 @@ def _tick_kernel_eligible(cfg: EMConfig, lights) -> bool:
     # NPCs' stop-line leads are computed in-kernel; `lights` stays in the
     # signature for call-site symmetry and future gating)
     del lights
-    return (
+    ok = (
         cfg.control.kind in ("LQR", "MPC")
         and not cfg.control.raw_heading_error  # kernel implements sin() only
         and cfg.plant.kind in ("kinematic", "dynamic")
         and cfg.plant.substeps == 1
     )
+    if not ok:
+        # surface the silent slow path: the config is valid but runs the
+        # XLA scan (~3x the tick-loop cost at fleet batch) — warn once per
+        # offending config at trace time
+        import warnings
+
+        why = (
+            f"kind={cfg.control.kind}, raw_heading_error="
+            f"{cfg.control.raw_heading_error}, plant={cfg.plant.kind}, "
+            f"substeps={cfg.plant.substeps}"
+        )
+        warnings.warn(
+            "closed-loop tick kernel ineligible for this config "
+            f"({why}); falling back to the XLA tick scan",
+            stacklevel=3,
+        )
+    return ok
 
 
 def _traffic_ticks_base(

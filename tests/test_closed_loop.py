@@ -130,6 +130,7 @@ def test_stopped_ego_keeps_seeing_its_lead():
     assert not bool(np.asarray(m.collided).any())
 
 
+@pytest.mark.slow
 def test_bitwise_deterministic_rerun():
     """Reproducibility: the whole compiled loop is a pure function — two
     executions on identical inputs must agree BITWISE (replay/debugging

@@ -8,6 +8,8 @@ aggregates and degrade safely (round-1 verdict item 2).
 
 from dataclasses import replace
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,6 +81,7 @@ def test_feasible_scenario_reports_feasible():
     assert float(closed_loop.summarize(metrics)["infeasible_frac"]) == 0.0
 
 
+@pytest.mark.slow
 def test_fleet_aggregates_infeasible_count():
     mesh = fleet.make_mesh()
     n_dev = len(jax.devices())

@@ -189,6 +189,7 @@ def _three_crosser_scenario(cfg):
     return scenario.Scenario(gp, ego0, obstacles)
 
 
+@pytest.mark.slow
 def test_full_em_three_crossers_matches_oracle():
     """>= 3 simultaneous crossing NPCs vs the float64 oracle (which keeps
     ALL ST segments): with st_top_m raised to cover them, the compressed
@@ -240,6 +241,7 @@ def test_three_crossers_default_cfg_surfaces_dropped_segments():
     assert not bool(summ["collided"])
 
 
+@pytest.mark.slow
 def test_full_em_benchmark_horizon_matches_oracle():
     """Fidelity at the BENCHMARK horizon (round-2 verdict item 4):
     n_plans=20 — the exact n_plans the headline cycles/s are produced
@@ -460,8 +462,10 @@ def _traffic_scenario(cfg):
 
 @pytest.mark.parametrize(
     "behavior,full",
-    [("normal", False), ("normal", True),
-     ("cautious", False), ("aggressive", False)],
+    [("normal", False),
+     pytest.param("normal", True, marks=pytest.mark.slow),
+     pytest.param("cautious", False, marks=pytest.mark.slow),
+     pytest.param("aggressive", False, marks=pytest.mark.slow)],
 )
 def test_simulate_traffic_matches_oracle(behavior, full):
     """Agent-traffic loop (round-2 verdict item 3): the ego overtakes an

@@ -97,6 +97,7 @@ def test_full_loop_slows_for_crossing_obstacle():
     ) - 0.5
 
 
+@pytest.mark.slow
 def test_simulate_full_vmaps():
     B = 3
     scs = scenario.batch_scenarios(jax.random.PRNGKey(9), B, CFG)

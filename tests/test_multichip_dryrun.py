@@ -11,9 +11,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8_from_ambient_env():
     env = dict(os.environ)
     # Reconstruct the driver's ambient view: make sure our conftest's CPU
