@@ -52,9 +52,16 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
     n_s, n_t = cfg.n_s, cfg.n_t
     B, K = seg.valid.shape
     assert B % BLK == 0, f"batch {B} must be a multiple of {BLK}"
+    # grid blocks execute sequentially on the TensorCore (same rationale
+    # as the tick kernel): the 15-column serial recursion is launch/
+    # overhead-bound at 128 lanes, so take the largest lane block that
+    # divides B and fits the (n_s, n_s, blk) slab working set in VMEM
+    blk = next(c for c in (512, 256, 128) if B % c == 0)
     dt = cfg.t_step
     m = cfg.n_edge_samples
     s_grid_np = np.asarray(cfg.s_grid, np.float32)
+    # the kernel's masked-min arrival-speed selection relies on this
+    assert np.all(np.diff(s_grid_np) > 0), "s_grid must be increasing"
     t0 = float(dt)
 
     dv_np = (s_grid_np[None, :] - s_grid_np[:, None]) / dt       # (k, j)
@@ -96,7 +103,7 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
                cost_out, top0_out, arg_out,
                cost_s, sdot_s, top0_s, obs_s):
         t = pl.program_id(1)
-        kk_iota = jax.lax.broadcasted_iota(jnp.int32, (n_s, n_s, BLK), 0)
+        kk_iota = jax.lax.broadcasted_iota(jnp.int32, (n_s, n_s, blk), 0)
         sg = sg_ref[:]                           # (n_s, 1)
         any_v = jnp.any(va_ref[:] > 0.5)
         t_start = (t + 1).astype(jnp.float32) * dt
@@ -139,15 +146,23 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
                 pen * w_acc * a0 * a0,
             )
             cost_s[:] = ref0_ref[:] + acc0
-            sdot_s[:] = jnp.broadcast_to(v0e_ref[:], (n_s, BLK))
+            sdot_s[:] = jnp.broadcast_to(v0e_ref[:], (n_s, blk))
 
             # per-SLOT validity gate: in the fleet mix at most one segment
             # slot is populated in a block (one crossing NPC per scenario),
-            # so slot 1's sqrt/exp chains are skipped block-wide
+            # so slot 1's sqrt/exp chains are skipped block-wide. The gate
+            # also time-prunes: this column's samples all lie in
+            # [0, t0], and the ST distance is lower-bounded by the pure
+            # time gap to the segment's [ti, to] span — a gap >= dang_d
+            # means every sample costs exactly 0.0 (cost_of is identically
+            # zero beyond dang_d), so the skip is bit-identical.
             for k in range(K):
-                @pl.when(jnp.any(va_ref[k] > 0.5))
+                t_gap0 = jnp.maximum(ti_ref[k] - t0, -to_ref[k])
+                live0 = (va_ref[k] > 0.5) & (t_gap0 < dang_d)
+
+                @pl.when(jnp.any(live0))
                 def _obs0(k=k):
-                    ob = jnp.zeros((n_s, BLK), jnp.float32)
+                    ob = jnp.zeros((n_s, blk), jnp.float32)
                     for q in range(m):
                         ob = ob + point_cost_k(
                             k, s0_ref[q][:, None], float(frac_np[q]) * t0
@@ -159,9 +174,28 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
         # ---- obstacle cost slab for this column, accumulated per valid
         # segment slot (a block with no valid slot pays nothing; a block
         # with one pays one slot's chains) ----
-        obs_s[:] = jnp.zeros((n_s, n_s, BLK), jnp.float32)
+        # validity AND time-pruning gates (see _init): this column's
+        # samples all lie in [t_start, t_end]; a pure-time gap of
+        # dang_d or more to [ti, to] zeroes every cost exactly, so
+        # the whole sqrt/exp slab is skipped for the column —
+        # a crossing segment spans well under a second of the 8 s
+        # horizon, so even populated blocks skip most columns
+        lives = []
         for k in range(K):
-            @pl.when(jnp.any(va_ref[k] > 0.5))
+            t_gap = jnp.maximum(ti_ref[k] - t_end, t_start - to_ref[k])
+            lives.append((va_ref[k] > 0.5) & (t_gap < dang_d))
+        # scalar OR of per-slot reductions (stacking the bool vectors hits
+        # Mosaic's "invalid vector register cast" on i1 vregs)
+        live_any = jnp.any(lives[0])
+        for lv in lives[1:]:
+            live_any = live_any | jnp.any(lv)
+
+        @pl.when(live_any)
+        def _obs_zero():
+            obs_s[:] = jnp.zeros((n_s, n_s, blk), jnp.float32)
+
+        for k in range(K):
+            @pl.when(jnp.any(lives[k]))
             def _obs_slab_k(k=k):
                 # endpoint pieces: q = 0 at (s_k, t_start), q = m-1 at
                 # (s_j, t_end) — rank-1 in (k, j)
@@ -205,11 +239,17 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
             (accel < a_hi) & (accel > a_lo), w_acc * accel * accel,
             pen * w_acc * accel * accel,
         )
-        total = (
+        base = (
             cost_prev[:, None, :]
-            + obs_s[:]
             + reftr_ref[:][:, :, None]
             + acc_cost
+        )
+        # the obs slab read + add is skipped entirely for dead columns
+        # (the common case: headline blocks carry no valid segment and a
+        # populated block's segment spans ~1 of the 15 columns) — the
+        # branch replaces an unconditional 64k-element zero + read + add
+        total = jax.lax.cond(
+            live_any, lambda b: b + obs_s[:], lambda b: b, base
         )
         cost_new = jnp.min(total, axis=0)        # (j, BLK)
         # first-minimum argmin (reference tie-break)
@@ -217,9 +257,13 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
         kmin = jnp.min(
             jnp.where(is_min, kk_iota, n_s), axis=0
         ).astype(jnp.int32)                      # (j, BLK)
-        # arrival speed via one-hot contraction (no gather)
-        sel = (kk_iota == kmin[None, :, :]).astype(jnp.float32)
-        s_sel = jnp.sum(sg[:, :, None] * sel, axis=0)  # (j, BLK)
+        # arrival speed: s_grid is strictly increasing (asserted at trace
+        # time), so the first-minimum k also minimizes sg[k] over the
+        # is_min mask — one masked min replaces the one-hot contraction
+        # (two fewer full-slab passes), bit-identical (no arithmetic)
+        s_sel = jnp.min(
+            jnp.where(is_min, sg[:, :, None], jnp.float32(1e30)), axis=0
+        )                                        # (j, BLK)
         sdot_new = (sg[:, 0][:, None] - s_sel) / dt
 
         cost_s[:] = cost_new
@@ -229,16 +273,16 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
         arg_out[0] = kmin
 
     n_steps = n_t - 1
-    grid = (B // BLK, n_steps)
+    grid = (B // blk, n_steps)
     interp = bool(getattr(speed_dp_recursion, "_interpret", False))
 
-    seg_spec = pl.BlockSpec((K, BLK), lambda b, t: (0, b),
+    seg_spec = pl.BlockSpec((K, blk), lambda b, t: (0, b),
                             memory_space=pltpu.VMEM)
     cost_all_T, top0_T, args_T = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLK), lambda b, t: (0, b),
+            pl.BlockSpec((1, blk), lambda b, t: (0, b),
                          memory_space=pltpu.VMEM),
             seg_spec, seg_spec, seg_spec, seg_spec, seg_spec,
             pl.BlockSpec((n_s, n_s), lambda b, t: (0, 0),
@@ -257,11 +301,11 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, n_s, BLK), lambda b, t: (t, 0, b),
+            pl.BlockSpec((1, n_s, blk), lambda b, t: (t, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK), lambda b, t: (0, b),
+            pl.BlockSpec((1, blk), lambda b, t: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_s, BLK), lambda b, t: (t, 0, b),
+            pl.BlockSpec((1, n_s, blk), lambda b, t: (t, 0, b),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -270,10 +314,10 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
             jax.ShapeDtypeStruct((n_steps, n_s, B), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_s, BLK), jnp.float32),
-            pltpu.VMEM((n_s, BLK), jnp.float32),
-            pltpu.VMEM((1, BLK), jnp.float32),
-            pltpu.VMEM((n_s, n_s, BLK), jnp.float32),
+            pltpu.VMEM((n_s, blk), jnp.float32),
+            pltpu.VMEM((n_s, blk), jnp.float32),
+            pltpu.VMEM((1, blk), jnp.float32),
+            pltpu.VMEM((n_s, n_s, blk), jnp.float32),
         ],
         interpret=interp,
     )(

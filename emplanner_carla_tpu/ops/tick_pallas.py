@@ -521,158 +521,178 @@ def run_ticks_batched(
                     tgt_k = tgtK[kk : kk + 1]
                     xk, yk = ox[kk : kk + 1], oy[kk : kk + 1]
                     vxk, vyk = ovx[kk : kk + 1], ovy[kk : kk + 1]
-                    spd_k = spd_all[kk : kk + 1]
-                    phi_k = jnp.where(spd_k > 0.1, _atan2(vyk, vxk), 0.0)
-                    ck, sk = jnp.cos(phi_k), jnp.sin(phi_k)
-
-                    # lateral offset from the path at the carried index
-                    oh_i = (iota_gp == idx_k).astype(jnp.float32)
-                    th_i = jnp.sum(gp_th * oh_i, axis=0, keepdims=True)
-                    px_i = jnp.sum(gp_x * oh_i, axis=0, keepdims=True)
-                    py_i = jnp.sum(gp_y * oh_i, axis=0, keepdims=True)
-                    l_now = -(xk - px_i) * jnp.sin(th_i) + (
-                        yk - py_i
-                    ) * jnp.cos(th_i)
-
-                    # frame of this NPC: others' longitudinal/lateral
-                    # offsets (a lateral corridor shift only moves d_lat)
-                    dxk, dyk = ox - xk, oy - yk             # (K, blk)
-                    dl_o = dxk * ck + dyk * sk
-                    dt_o = -dxk * sk + dyk * ck
-                    val_o = (ovalid > 0.5) & (iota_K != kk)
-                    dxe, dye = x_n - xk, y_n - yk           # (1, blk)
-                    dl_e = dxe * ck + dye * sk
-                    dt_e = -dxe * sk + dye * ck
-
-                    def lead(shift, _dl_o=dl_o, _dt_o=dt_o, _val=val_o,
-                             _dl_e=dl_e, _dt_e=dt_e, _sa=spd_all,
-                             _es=e_spd):
-                        ahead_o = _val & (_dl_o > 0.5) & (
-                            jnp.abs(_dt_o - shift) < 2.0
-                        )
-                        ahead_e = (_dl_e > 0.5) & (
-                            jnp.abs(_dt_e - shift) < 2.0
-                        )
-                        gap_o = jnp.min(
-                            jnp.where(ahead_o, _dl_o, jnp.inf),
-                            axis=0, keepdims=True,
-                        )
-                        gap = jnp.minimum(
-                            gap_o, jnp.where(ahead_e, _dl_e, jnp.inf)
-                        )
-                        # first-min row (obstacle slots win exact ties
-                        # against the ego, matching npc.lead_info's argmin
-                        # over [obs slots..., ego])
-                        hit_o = ahead_o & (_dl_o <= gap)
-                        first = jnp.min(
-                            jnp.where(hit_o, iota_K, K),
-                            axis=0, keepdims=True,
-                        )
-                        oh_r = (iota_K == first).astype(jnp.float32)
-                        v_o = jnp.sum(_sa * oh_r, axis=0, keepdims=True)
-                        v_lead = jnp.where(first >= K, _es, v_o)
-                        none = gap > 1e30  # == +inf: nothing ahead
-                        return (
-                            jnp.where(none, 1e4, gap),
-                            jnp.where(none, 100.0, v_lead),
-                        )
-
-                    def corridor_free(shift, _dl_o=dl_o, _dt_o=dt_o,
-                                      _val=val_o, _dl_e=dl_e, _dt_e=dt_e):
-                        occ_o = _val & (_dl_o > -8.0) & (_dl_o < 20.0) & (
-                            jnp.abs(_dt_o - shift) < 1.8
-                        )
-                        occ_e = (_dl_e > -8.0) & (_dl_e < 20.0) & (
-                            jnp.abs(_dt_e - shift) < 1.8
-                        )
-                        any_o = jnp.max(
-                            occ_o.astype(jnp.float32), axis=0, keepdims=True
-                        ) > 0.5
-                        return ~(any_o | occ_e)
-
-                    gap_own, v_own = lead(-l_now)
-                    gap_tgt, v_tgt = lead(tgt_k - l_now)
-                    if lights is not None:
-                        # a red stop line is a stationary lead for the IDM
-                        # (_advance_npcs' lights branch)
-                        t_abs_n = t0_v + (i + 1).astype(jnp.float32) * dt
-                        d_light = red_stop_dist(xk, yk, ck, sk, t_abs_n)
-                        v_tgt = jnp.where(d_light < gap_tgt, 0.0, v_tgt)
-                        gap_tgt = jnp.minimum(gap_tgt, d_light)
-                    left_free = corridor_free(LANE_W - l_now)
-                    right_free = corridor_free(-LANE_W - l_now)
-                    own_free = corridor_free(-l_now)
-
-                    # lane_change_decision
-                    press = P_MIND + spd_k * P_SAFET
-                    blocked = (gap_own < 1.5 * press) & (
-                        v_own < 0.8 * P_MAXSPD
-                    )
-                    in_lane = jnp.abs(tgt_k) < 0.1
-                    go_left = blocked & in_lane & left_free
-                    go_right = blocked & in_lane & ~left_free & right_free
-                    tgt_new = jnp.where(
-                        go_left, LANE_W,
-                        jnp.where(go_right, -LANE_W, tgt_k),
-                    )
-                    # merge back only once the pressure released too
-                    # (npc.lane_change_decision's anti-flap hysteresis)
-                    tgt_new = jnp.where(
-                        ~in_lane & own_free & ~blocked, 0.0, tgt_new
-                    )
-
-                    # npc_step: forward-windowed first-min match
-                    lo = jnp.clip(idx_k, 0, max(n_gp - 32, 0))
-                    in_win = (iota_gp >= lo) & (iota_gp < lo + 32)
-                    d2g = (gp_x - xk) ** 2 + (gp_y - yk) ** 2
-                    d2m = jnp.where(in_win, d2g, jnp.inf)
-                    mng = jnp.min(d2m, axis=0, keepdims=True)
-                    idx2 = jnp.min(
-                        jnp.where(d2m <= mng, iota_gp, n_gp),
-                        axis=0, keepdims=True,
-                    )
-                    look = jnp.clip(
-                        idx2 + 2 + (spd_k * 0.25).astype(jnp.int32),
-                        0, n_gp - 1,
-                    )
-                    oh_l = (iota_gp == look).astype(jnp.float32)
-                    th_l = jnp.sum(gp_th * oh_l, axis=0, keepdims=True)
-                    lx = jnp.sum(gp_x * oh_l, axis=0, keepdims=True)
-                    ly = jnp.sum(gp_y * oh_l, axis=0, keepdims=True)
-                    dxp = lx - off_k * jnp.sin(th_l) - xk
-                    dyp = ly + off_k * jnp.cos(th_l) - yk
-                    alpha = _atan2(dyp, dxp) - phi_k
-                    alpha = _atan2(jnp.sin(alpha), jnp.cos(alpha))
-                    ld = jnp.maximum(jnp.sqrt(dxp * dxp + dyp * dyp), 1.0)
-                    delta = _atan2(2.0 * L_wb * jnp.sin(alpha), ld)
-                    steer_n = jnp.clip(delta / max_steer, -1.0, 1.0)
-                    s_star = P_MIND + jnp.maximum(
-                        spd_k * P_SAFET
-                        + spd_k * (spd_k - v_tgt) / (2.0 * P_SQRT_AB),
-                        0.0,
-                    )
-                    gap_c = jnp.maximum(gap_tgt, 0.5)
-                    accn = P_ACC * (
-                        1.0 - (spd_k / P_MAXSPD_C) ** 4
-                        - (s_star / gap_c) ** 2
-                    )
-                    accn = jnp.clip(accn, -P_DEC, P_ACC)
-                    v2 = jnp.maximum(spd_k + accn * dt, 0.0)
-                    om2 = v2 * jnp.tan(steer_n * max_steer) / L_wb
-                    phi2 = phi_k + om2 * dt
-                    x2 = xk + v2 * jnp.cos(phi2) * dt
-                    y2 = yk + v2 * jnp.sin(phi2) * dt
-
                     is_ag = (ovalid[kk : kk + 1] > 0.5) & (
                         agentK[kk : kk + 1] > 0.5
                     )
-                    rows.append((
-                        jnp.where(is_ag, x2, xk + vxk * dt),
-                        jnp.where(is_ag, y2, yk + vyk * dt),
-                        jnp.where(is_ag, v2 * jnp.cos(phi2), vxk),
-                        jnp.where(is_ag, v2 * jnp.sin(phi2), vyk),
-                        jnp.where(is_ag, idx2, idx_k),
-                        jnp.where(is_ag, tgt_new, tgt_k),
+
+                    def cv_row(xk=xk, yk=yk, vxk=vxk, vyk=vyk,
+                               idx_k=idx_k, tgt_k=tgt_k):
+                        return (xk + vxk * dt, yk + vyk * dt, vxk, vyk,
+                                idx_k, tgt_k)
+
+                    def agent_row(kk=kk, idx_k=idx_k, off_k=off_k,
+                                  tgt_k=tgt_k, xk=xk, yk=yk, vxk=vxk,
+                                  vyk=vyk, is_ag=is_ag):
+                        spd_k = spd_all[kk : kk + 1]
+                        phi_k = jnp.where(
+                            spd_k > 0.1, _atan2(vyk, vxk), 0.0
+                        )
+                        ck, sk = jnp.cos(phi_k), jnp.sin(phi_k)
+
+                        # lateral offset from the path at the carried index
+                        oh_i = (iota_gp == idx_k).astype(jnp.float32)
+                        th_i = jnp.sum(gp_th * oh_i, axis=0, keepdims=True)
+                        px_i = jnp.sum(gp_x * oh_i, axis=0, keepdims=True)
+                        py_i = jnp.sum(gp_y * oh_i, axis=0, keepdims=True)
+                        l_now = -(xk - px_i) * jnp.sin(th_i) + (
+                            yk - py_i
+                        ) * jnp.cos(th_i)
+
+                        # frame of this NPC: others' longitudinal/lateral
+                        # offsets (a lateral corridor shift only moves d_lat)
+                        dxk, dyk = ox - xk, oy - yk             # (K, blk)
+                        dl_o = dxk * ck + dyk * sk
+                        dt_o = -dxk * sk + dyk * ck
+                        val_o = (ovalid > 0.5) & (iota_K != kk)
+                        dxe, dye = x_n - xk, y_n - yk           # (1, blk)
+                        dl_e = dxe * ck + dye * sk
+                        dt_e = -dxe * sk + dye * ck
+
+                        def lead(shift, _dl_o=dl_o, _dt_o=dt_o, _val=val_o,
+                                 _dl_e=dl_e, _dt_e=dt_e, _sa=spd_all,
+                                 _es=e_spd):
+                            ahead_o = _val & (_dl_o > 0.5) & (
+                                jnp.abs(_dt_o - shift) < 2.0
+                            )
+                            ahead_e = (_dl_e > 0.5) & (
+                                jnp.abs(_dt_e - shift) < 2.0
+                            )
+                            gap_o = jnp.min(
+                                jnp.where(ahead_o, _dl_o, jnp.inf),
+                                axis=0, keepdims=True,
+                            )
+                            gap = jnp.minimum(
+                                gap_o, jnp.where(ahead_e, _dl_e, jnp.inf)
+                            )
+                            # first-min row (obstacle slots win exact ties
+                            # against the ego, matching npc.lead_info's argmin
+                            # over [obs slots..., ego])
+                            hit_o = ahead_o & (_dl_o <= gap)
+                            first = jnp.min(
+                                jnp.where(hit_o, iota_K, K),
+                                axis=0, keepdims=True,
+                            )
+                            oh_r = (iota_K == first).astype(jnp.float32)
+                            v_o = jnp.sum(_sa * oh_r, axis=0, keepdims=True)
+                            v_lead = jnp.where(first >= K, _es, v_o)
+                            none = gap > 1e30  # == +inf: nothing ahead
+                            return (
+                                jnp.where(none, 1e4, gap),
+                                jnp.where(none, 100.0, v_lead),
+                            )
+
+                        def corridor_free(shift, _dl_o=dl_o, _dt_o=dt_o,
+                                          _val=val_o, _dl_e=dl_e, _dt_e=dt_e):
+                            occ_o = _val & (_dl_o > -8.0) & (_dl_o < 20.0) & (
+                                jnp.abs(_dt_o - shift) < 1.8
+                            )
+                            occ_e = (_dl_e > -8.0) & (_dl_e < 20.0) & (
+                                jnp.abs(_dt_e - shift) < 1.8
+                            )
+                            any_o = jnp.max(
+                                occ_o.astype(jnp.float32), axis=0, keepdims=True
+                            ) > 0.5
+                            return ~(any_o | occ_e)
+
+                        gap_own, v_own = lead(-l_now)
+                        gap_tgt, v_tgt = lead(tgt_k - l_now)
+                        if lights is not None:
+                            # a red stop line is a stationary lead for the IDM
+                            # (_advance_npcs' lights branch)
+                            t_abs_n = t0_v + (i + 1).astype(jnp.float32) * dt
+                            d_light = red_stop_dist(xk, yk, ck, sk, t_abs_n)
+                            v_tgt = jnp.where(d_light < gap_tgt, 0.0, v_tgt)
+                            gap_tgt = jnp.minimum(gap_tgt, d_light)
+                        left_free = corridor_free(LANE_W - l_now)
+                        right_free = corridor_free(-LANE_W - l_now)
+                        own_free = corridor_free(-l_now)
+
+                        # lane_change_decision
+                        press = P_MIND + spd_k * P_SAFET
+                        blocked = (gap_own < 1.5 * press) & (
+                            v_own < 0.8 * P_MAXSPD
+                        )
+                        in_lane = jnp.abs(tgt_k) < 0.1
+                        go_left = blocked & in_lane & left_free
+                        go_right = blocked & in_lane & ~left_free & right_free
+                        tgt_new = jnp.where(
+                            go_left, LANE_W,
+                            jnp.where(go_right, -LANE_W, tgt_k),
+                        )
+                        # merge back only once the pressure released too
+                        # (npc.lane_change_decision's anti-flap hysteresis)
+                        tgt_new = jnp.where(
+                            ~in_lane & own_free & ~blocked, 0.0, tgt_new
+                        )
+
+                        # npc_step: forward-windowed first-min match
+                        lo = jnp.clip(idx_k, 0, max(n_gp - 32, 0))
+                        in_win = (iota_gp >= lo) & (iota_gp < lo + 32)
+                        d2g = (gp_x - xk) ** 2 + (gp_y - yk) ** 2
+                        d2m = jnp.where(in_win, d2g, jnp.inf)
+                        mng = jnp.min(d2m, axis=0, keepdims=True)
+                        idx2 = jnp.min(
+                            jnp.where(d2m <= mng, iota_gp, n_gp),
+                            axis=0, keepdims=True,
+                        )
+                        look = jnp.clip(
+                            idx2 + 2 + (spd_k * 0.25).astype(jnp.int32),
+                            0, n_gp - 1,
+                        )
+                        oh_l = (iota_gp == look).astype(jnp.float32)
+                        th_l = jnp.sum(gp_th * oh_l, axis=0, keepdims=True)
+                        lx = jnp.sum(gp_x * oh_l, axis=0, keepdims=True)
+                        ly = jnp.sum(gp_y * oh_l, axis=0, keepdims=True)
+                        dxp = lx - off_k * jnp.sin(th_l) - xk
+                        dyp = ly + off_k * jnp.cos(th_l) - yk
+                        alpha = _atan2(dyp, dxp) - phi_k
+                        alpha = _atan2(jnp.sin(alpha), jnp.cos(alpha))
+                        ld = jnp.maximum(jnp.sqrt(dxp * dxp + dyp * dyp), 1.0)
+                        delta = _atan2(2.0 * L_wb * jnp.sin(alpha), ld)
+                        steer_n = jnp.clip(delta / max_steer, -1.0, 1.0)
+                        s_star = P_MIND + jnp.maximum(
+                            spd_k * P_SAFET
+                            + spd_k * (spd_k - v_tgt) / (2.0 * P_SQRT_AB),
+                            0.0,
+                        )
+                        gap_c = jnp.maximum(gap_tgt, 0.5)
+                        accn = P_ACC * (
+                            1.0 - (spd_k / P_MAXSPD_C) ** 4
+                            - (s_star / gap_c) ** 2
+                        )
+                        accn = jnp.clip(accn, -P_DEC, P_ACC)
+                        v2 = jnp.maximum(spd_k + accn * dt, 0.0)
+                        om2 = v2 * jnp.tan(steer_n * max_steer) / L_wb
+                        phi2 = phi_k + om2 * dt
+                        x2 = xk + v2 * jnp.cos(phi2) * dt
+                        y2 = yk + v2 * jnp.sin(phi2) * dt
+
+                        return (
+                            jnp.where(is_ag, x2, xk + vxk * dt),
+                            jnp.where(is_ag, y2, yk + vyk * dt),
+                            jnp.where(is_ag, v2 * jnp.cos(phi2), vxk),
+                            jnp.where(is_ag, v2 * jnp.sin(phi2), vyk),
+                            jnp.where(is_ag, idx2, idx_k),
+                            jnp.where(is_ag, tgt_new, tgt_k),
+                        )
+
+                    # a block whose lanes carry NO live agent in this slot
+                    # skips the slot's ~15 (n_gp, blk)-pass agent math
+                    # entirely (the bench mix populates ONE of the dynamic
+                    # slots; per-lane selects inside agent_row keep mixed
+                    # blocks bit-identical)
+                    rows.append(jax.lax.cond(
+                        jnp.any(is_ag), agent_row, cv_row
                     ))
                 ox = jnp.concatenate([r[0] for r in rows], axis=0)
                 oy = jnp.concatenate([r[1] for r in rows], axis=0)
