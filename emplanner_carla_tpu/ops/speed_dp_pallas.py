@@ -362,14 +362,19 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
 
     cost_last, top, args = speed_dp_recursion(seg, v0, cfg)
 
-    # termination + backtrack (vectorized; same tie-breaks as the XLA DP)
+    # termination + backtrack (vectorized; same tie-breaks as the XLA DP).
+    # All per-lane index reads are one-hot contractions or direct min
+    # reductions — the take_along_axis forms lowered to gather fusions
+    # measured ~0.85 ms/cycle at batch 4096 (the same per-lane-gather
+    # poison as frenet._gather / the pixel tracker).
     B = v0.shape[0]
+    row_iota = jnp.arange(n_s, dtype=jnp.int32)
     best_right = jnp.argmin(cost_last, axis=1).astype(jnp.int32)
-    right_cost = jnp.take_along_axis(cost_last, best_right[:, None], axis=1)[:, 0]
+    right_cost = jnp.min(cost_last, axis=1)     # = cost at the argmin
     best_top_col = (
         n_t - 1 - jnp.argmin(top[:, ::-1], axis=1)
     ).astype(jnp.int32)
-    top_cost = jnp.take_along_axis(top, best_top_col[:, None], axis=1)[:, 0]
+    top_cost = jnp.min(top, axis=1)             # tie index irrelevant
     use_top = top_cost <= right_cost
     end_col = jnp.where(use_top, best_top_col, n_t - 1)
     end_row = jnp.where(use_top, n_s - 1, best_right)
@@ -378,11 +383,11 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
         row = carry
         on = c <= end_col
         this_row = jnp.where(c == end_col, end_row, row)
+        oh_row = this_row[:, None] == row_iota[None, :]        # (B, n_s)
+        arg_c = args[:, jnp.maximum(c - 1, 0)]                 # (B, n_s)
         prev = jnp.where(
             (c > 0) & on,
-            jnp.take_along_axis(
-                args[:, jnp.maximum(c - 1, 0)], this_row[:, None], axis=1
-            )[:, 0],
+            jnp.sum(jnp.where(oh_row, arg_c, 0), axis=1),
             this_row,
         )
         return prev, jnp.where(on, this_row, -1)
@@ -390,7 +395,11 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
     _, rows_rev = jax.lax.scan(emit, end_row, jnp.arange(n_t - 1, -1, -1))
     rows = rows_rev[::-1]  # (n_t, B)
     valid_c = jnp.arange(n_t)[:, None] <= end_col[None, :]
-    s_out = jnp.where(valid_c, s_grid[jnp.maximum(rows, 0)], 0.0)
+    oh_rows = jnp.maximum(rows, 0)[:, :, None] == row_iota[None, None, :]
+    s_of_rows = jnp.sum(
+        jnp.where(oh_rows, s_grid[None, None, :], 0.0), axis=-1
+    )
+    s_out = jnp.where(valid_c, s_of_rows, 0.0)
     return SP.SpeedDPResult(
         s_out.T,
         jnp.broadcast_to(t_grid[None, :], (B, n_t)),

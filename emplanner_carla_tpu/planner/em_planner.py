@@ -137,7 +137,14 @@ def plan_path_cycle(
         )
         order = jnp.argsort(jnp.where(in_win, jnp.abs(all_s - s0), jnp.inf))
         keep = order[: pp.dp_top_m]
-        dp_obs = (all_s[keep], all_l[keep], in_win[keep])
+        # one-hot contraction instead of three per-lane index gathers
+        # (measured ~1 ms/cycle of gather fusions at batch 4096)
+        oh = keep[:, None] == jnp.arange(all_s.shape[0])[None, :]
+        dp_obs = (
+            jnp.sum(jnp.where(oh, all_s[None, :], 0.0), axis=1),
+            jnp.sum(jnp.where(oh, all_l[None, :], 0.0), axis=1),
+            jnp.any(oh & in_win[None, :], axis=1),
+        )
         obs_dropped = (
             jnp.sum(in_win.astype(jnp.int32))
             - jnp.sum(dp_obs[2].astype(jnp.int32))

@@ -73,7 +73,10 @@ def corridor(
         + off
     )
     idx_ctr = jnp.argmin(jnp.abs(dp_s[None, :] - obs_s[:, None]), axis=-1)
-    path_l_at_obs = dp_l[idx_ctr]  # (K,)
+    # one-hot contraction, not a per-lane gather (gather fusion measured
+    # 0.67 ms/cycle at batch 4096)
+    oh_ctr = idx_ctr[:, None] == jnp.arange(dp_s.shape[-1])[None, :]
+    path_l_at_obs = jnp.sum(jnp.where(oh_ctr, dp_l[None, :], 0.0), axis=1)
     pass_low = path_l_at_obs < obs_l  # ego passes on the smaller-l side
 
     station = jnp.arange(n)
