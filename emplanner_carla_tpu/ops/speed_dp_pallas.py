@@ -27,7 +27,10 @@ The obstacle-cost math reproduces ``speed_planner._edge_obs_tensors``
 (single-sqrt point-segment distances, endpoint/interior decomposition,
 hoisted t-only subexpressions) term for term so the Pallas and XLA DPs
 stay numerically aligned. First-minimum tie-break of the reference DP
-(strict <, ``speed_planning_test.py:145``) via an explicit iota-min.
+(strict <, ``speed_planning_test.py:145``) via a masked min over the
+strictly-increasing s_grid (the first-minimum index also minimizes the
+station value), which also lets the kernel emit predecessor STATIONS
+instead of indices — no iota materialization, no index gathers anywhere.
 """
 
 from __future__ import annotations
@@ -48,7 +51,8 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
     """Run the batched DP recursion with in-kernel obstacle costs.
 
     seg: STSegments with (B, K) fields; v0: (B,). Returns
-    (cost_last (B, n_s), top_costs (B, n_t), argmins (B, n_t-1, n_s))."""
+    (cost_last (B, n_s), top_costs (B, n_t), predecessor stations
+    (B, n_t-1, n_s) — exact s_grid values, see the backtrack)."""
     n_s, n_t = cfg.n_s, cfg.n_t
     B, K = seg.valid.shape
     assert B % BLK == 0, f"batch {B} must be a multiple of {BLK}"
@@ -103,7 +107,6 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
                cost_out, top0_out, arg_out,
                cost_s, sdot_s, top0_s, obs_s):
         t = pl.program_id(1)
-        kk_iota = jax.lax.broadcasted_iota(jnp.int32, (n_s, n_s, blk), 0)
         sg = sg_ref[:]                           # (n_s, 1)
         any_v = jnp.any(va_ref[:] > 0.5)
         t_start = (t + 1).astype(jnp.float32) * dt
@@ -142,9 +145,8 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
             v0b = v0_ref[:]                      # (1, BLK)
             a0 = (v0e_ref[:] - v0b) / t0         # (n_s, BLK)
             acc0 = jnp.where(
-                (a0 < a_hi) & (a0 > a_lo), w_acc * a0 * a0,
-                pen * w_acc * a0 * a0,
-            )
+                (a0 < a_hi) & (a0 > a_lo), w_acc, pen * w_acc
+            ) * (a0 * a0)
             cost_s[:] = ref0_ref[:] + acc0
             sdot_s[:] = jnp.broadcast_to(v0e_ref[:], (n_s, blk))
 
@@ -235,10 +237,13 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
         sdot_prev = sdot_s[:]
         dv = dv_ref[:]                           # (k, j)
         accel = (dv[:, :, None] - sdot_prev[:, None, :]) / dt
+        # factor-form select (w vs pen*w scalars) then ONE multiply by a^2
+        # — two fewer full-slab passes than selecting between two products;
+        # matches the XLA path's `w * accel**2` association exactly
+        a_sq = accel * accel
         acc_cost = jnp.where(
-            (accel < a_hi) & (accel > a_lo), w_acc * accel * accel,
-            pen * w_acc * accel * accel,
-        )
+            (accel < a_hi) & (accel > a_lo), w_acc, pen * w_acc
+        ) * a_sq
         base = (
             cost_prev[:, None, :]
             + reftr_ref[:][:, :, None]
@@ -252,15 +257,15 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
             live_any, lambda b: b + obs_s[:], lambda b: b, base
         )
         cost_new = jnp.min(total, axis=0)        # (j, BLK)
-        # first-minimum argmin (reference tie-break)
+        # predecessor STATION instead of index: s_grid is strictly
+        # increasing (asserted at trace time), so the first-minimum k of
+        # the reference tie-break also minimizes sg[k] over the is_min
+        # mask — one masked min yields the chosen predecessor's station
+        # value directly (bit-exact copies of s_grid entries), and the
+        # backtrack matches stations by exact equality. Eliminates the
+        # explicit iota-argmin (iota materialization + where + min, three
+        # full-slab passes) the index form needed.
         is_min = total <= cost_new[None, :, :]
-        kmin = jnp.min(
-            jnp.where(is_min, kk_iota, n_s), axis=0
-        ).astype(jnp.int32)                      # (j, BLK)
-        # arrival speed: s_grid is strictly increasing (asserted at trace
-        # time), so the first-minimum k also minimizes sg[k] over the
-        # is_min mask — one masked min replaces the one-hot contraction
-        # (two fewer full-slab passes), bit-identical (no arithmetic)
         s_sel = jnp.min(
             jnp.where(is_min, sg[:, :, None], jnp.float32(1e30)), axis=0
         )                                        # (j, BLK)
@@ -270,7 +275,7 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
         sdot_s[:] = sdot_new
         cost_out[0] = cost_new
         top0_out[:] = top0_s[:]
-        arg_out[0] = kmin
+        arg_out[0] = s_sel
 
     n_steps = n_t - 1
     grid = (B // blk, n_steps)
@@ -311,7 +316,7 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
         out_shape=(
             jax.ShapeDtypeStruct((n_steps, n_s, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, n_s, B), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps, n_s, B), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((n_s, blk), jnp.float32),
@@ -363,43 +368,45 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
     cost_last, top, args = speed_dp_recursion(seg, v0, cfg)
 
     # termination + backtrack (vectorized; same tie-breaks as the XLA DP).
-    # All per-lane index reads are one-hot contractions or direct min
-    # reductions — the take_along_axis forms lowered to gather fusions
-    # measured ~0.85 ms/cycle at batch 4096 (the same per-lane-gather
-    # poison as frenet._gather / the pixel tracker).
+    # The kernel emits predecessor STATIONS (exact copies of s_grid
+    # entries), so the backtrack works in station values end to end:
+    # every per-lane read is an exact-equality one-hot contraction or a
+    # direct min reduction — the earlier take_along_axis/index forms
+    # lowered to gather fusions measured ~0.85 ms/cycle at batch 4096
+    # (the same per-lane-gather poison as frenet._gather).
     B = v0.shape[0]
-    row_iota = jnp.arange(n_s, dtype=jnp.int32)
-    best_right = jnp.argmin(cost_last, axis=1).astype(jnp.int32)
-    right_cost = jnp.min(cost_last, axis=1)     # = cost at the argmin
+    right_cost = jnp.min(cost_last, axis=1)
+    # station at the FIRST cost minimum: s_grid is increasing, so the
+    # masked min over the tie set reproduces argmin's first-min tie-break
+    s_right = jnp.min(
+        jnp.where(cost_last <= right_cost[:, None], s_grid[None, :], 1e30),
+        axis=1,
+    )
     best_top_col = (
         n_t - 1 - jnp.argmin(top[:, ::-1], axis=1)
     ).astype(jnp.int32)
     top_cost = jnp.min(top, axis=1)             # tie index irrelevant
     use_top = top_cost <= right_cost
     end_col = jnp.where(use_top, best_top_col, n_t - 1)
-    end_row = jnp.where(use_top, n_s - 1, best_right)
+    end_s = jnp.where(use_top, s_grid[n_s - 1], s_right)
 
     def emit(carry, c):
-        row = carry
+        s_cur = carry                           # (B,) station value
         on = c <= end_col
-        this_row = jnp.where(c == end_col, end_row, row)
-        oh_row = this_row[:, None] == row_iota[None, :]        # (B, n_s)
+        this_s = jnp.where(c == end_col, end_s, s_cur)
+        oh = this_s[:, None] == s_grid[None, :]                # (B, n_s)
         arg_c = args[:, jnp.maximum(c - 1, 0)]                 # (B, n_s)
         prev = jnp.where(
             (c > 0) & on,
-            jnp.sum(jnp.where(oh_row, arg_c, 0), axis=1),
-            this_row,
+            jnp.sum(jnp.where(oh, arg_c, 0.0), axis=1),
+            this_s,
         )
-        return prev, jnp.where(on, this_row, -1)
+        return prev, jnp.where(on, this_s, -1.0)
 
-    _, rows_rev = jax.lax.scan(emit, end_row, jnp.arange(n_t - 1, -1, -1))
-    rows = rows_rev[::-1]  # (n_t, B)
+    _, s_rev = jax.lax.scan(emit, end_s, jnp.arange(n_t - 1, -1, -1))
+    s_vals = s_rev[::-1]  # (n_t, B)
     valid_c = jnp.arange(n_t)[:, None] <= end_col[None, :]
-    oh_rows = jnp.maximum(rows, 0)[:, :, None] == row_iota[None, None, :]
-    s_of_rows = jnp.sum(
-        jnp.where(oh_rows, s_grid[None, None, :], 0.0), axis=-1
-    )
-    s_out = jnp.where(valid_c, s_of_rows, 0.0)
+    s_out = jnp.where(valid_c, s_vals, 0.0)
     return SP.SpeedDPResult(
         s_out.T,
         jnp.broadcast_to(t_grid[None, :], (B, n_t)),
