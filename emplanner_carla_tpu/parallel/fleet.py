@@ -45,7 +45,7 @@ def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
 def fleet_simulate(
     scenarios: Scenario, cfg: EMConfig, mesh: Mesh, full: bool = False,
     traffic: bool = False, behavior: str = "normal",
-    return_carry: bool = False,
+    pixels: bool = False, return_carry: bool = False,
 ):
     """Run the closed loop for a sharded scenario batch.
 
@@ -53,14 +53,25 @@ def fleet_simulate(
     ``simulate_full``); otherwise the path-only loop. ``traffic=True``
     instead runs the agent-traffic loop (``simulate_traffic`` — NPC slots
     drive the route with the IDM/pure-pursuit agent, composing with
-    ``full``). Returns (metrics, aggregates): per-scenario metrics
+    ``full``). ``pixels=True`` instead runs the drive-from-pixels loop
+    (``sim/pixel_loop.simulate_pixels`` — camera render -> detector ->
+    tracker -> planner on the estimates, composing with ``full``; the
+    returned per-scenario metrics are ``PixelMetrics`` whose ``.ticks``
+    feed the same fleet aggregates). Returns (metrics, aggregates): per-scenario metrics
     (sharded like the input) and fleet-level aggregates reduced across
     the mesh with psum — lateral RMSE, mean speed, collision count,
     scenario count. ``return_carry=True`` appends the final (sharded)
     loop carry: ``(metrics, agg, carry)`` — the mesh-sharded state a
     fleet checkpoint persists.
     """
-    if traffic:
+    if pixels and traffic:
+        raise ValueError("pixels and traffic modes are mutually exclusive")
+    if pixels:
+        from emplanner_carla_tpu.sim import pixel_loop
+
+        def sim(gp, e, o, cfg):
+            return pixel_loop.simulate_pixels(gp, e, o, cfg, full=full)
+    elif traffic:
         def sim(gp, e, o, cfg):
             return closed_loop.simulate_traffic(
                 gp, e, o, cfg, behavior=behavior, full=full
@@ -78,21 +89,22 @@ def fleet_simulate(
     )
     def run(sc: Scenario):
         carry, metrics = batched(sc.global_path, sc.ego0, sc.obstacles)
-        b = metrics.lateral_err.shape[0]
-        sq_sum = jnp.sum(metrics.lateral_err**2)
-        n_ticks = jnp.asarray(metrics.lateral_err.size, jnp.float32)
+        tk = metrics.ticks if pixels else metrics
+        b = tk.lateral_err.shape[0]
+        sq_sum = jnp.sum(tk.lateral_err**2)
+        n_ticks = jnp.asarray(tk.lateral_err.size, jnp.float32)
         collisions = jnp.sum(
-            jnp.any(metrics.collided.reshape(b, -1), axis=1).astype(jnp.float32)
+            jnp.any(tk.collided.reshape(b, -1), axis=1).astype(jnp.float32)
         )
-        speed_sum = jnp.sum(metrics.speed_kmh)
+        speed_sum = jnp.sum(tk.speed_kmh)
         # feasible is constant within a plan cycle: count infeasible cycles
         # from each cycle's first tick (metrics are (b, n_plans, plan_every))
-        infeasible = jnp.sum(1.0 - metrics.feasible[..., 0].astype(jnp.float32))
+        infeasible = jnp.sum(1.0 - tk.feasible[..., 0].astype(jnp.float32))
         # planner-compression drops (constant within a cycle: first ticks
         # only): ST segments cut by st_top_m (full loops) + DP obstacle
         # slots cut by dp_top_m (all loops, incl. path-only)
         seg_dropped = jnp.sum(
-            metrics.segments_dropped[..., 0].astype(jnp.float32)
+            tk.segments_dropped[..., 0].astype(jnp.float32)
         )
         # cross-chip reductions ride ICI
         tot_sq = jax.lax.psum(sq_sum, DATA_AXIS)

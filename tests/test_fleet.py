@@ -54,3 +54,19 @@ def test_fleet_agg_matches_local():
         np.asarray(metrics.speed_kmh).mean(),
         rtol=1e-4,
     )
+
+
+def test_fleet_simulate_pixels_on_mesh():
+    """The drive-from-pixels loop shards over the mesh like the others:
+    camera render -> detector -> tracker -> full EM per chip, tick
+    aggregates psum'd over ICI, per-scenario PixelMetrics sharded."""
+    mesh = fleet.make_mesh()
+    B = 2 * N_DEV
+    scs = scenario.batch_scenarios(jax.random.PRNGKey(6), B, CFG)
+    scs = fleet.shard_scenarios(scs, mesh)
+    metrics, agg = fleet.fleet_simulate(scs, CFG, mesh, full=True, pixels=True)
+    assert int(agg["n_scenarios"]) == B
+    assert np.isfinite(float(agg["lateral_rmse"]))
+    assert metrics.ticks.x.shape == (B, CFG.loop.n_plans, CFG.loop.plan_every)
+    assert metrics.perc_err.shape == (B, CFG.loop.n_plans)
+    assert len(metrics.ticks.x.sharding.device_set) == N_DEV
