@@ -101,12 +101,13 @@ class PathPlanConfig:
     admm_iters: int = 120
     admm_rho: float = 1.0
     admm_sigma: float = 1e-6
-    # per-phase ADMM iterations when warm-started from the previous cycle's
-    # carried state (closed loops only; cold solves use the admm_iters
-    # ladder). Swept at batch 4096 on v5e: 60 matches 120's closed-loop
-    # RMSE/speed/collision metrics exactly; 30 and below start costing
-    # mean speed (under-converged speed QP).
-    warm_admm_iters: int = 60
+    # total warm-start ADMM iterations (split over the 3 rho phases) when
+    # warm-started from the previous cycle's carried state (closed loops
+    # only; cold solves use the admm_iters ladder). Swept at batch 4096 on
+    # v5e: 45 passes the full fidelity suite including the re-anchored
+    # per-cycle certification (round 4; headline 371k -> 385k cycles/s);
+    # 30 and below start costing mean speed (under-converged path QP).
+    warm_admm_iters: int = 45
     # fused warm-QP kernel dot implementation: "highest" (f32, 6 MXU
     # passes) or "bf16x3" (explicit hi/lo split, 3 passes — the XLA warm
     # ladder's default_matmul_precision("high") numerics; see
@@ -184,7 +185,8 @@ class SpeedPlanConfig:
     # per-phase warm-start iterations. Unlike the path QP, 60 here fails
     # the float64-oracle fidelity bar (longitudinal divergence >1 m on the
     # full-EM NPC regressions): the speed QP needs the full 120 to match
-    # scipy-exact solves.
+    # scipy-exact solves (90 re-measured failing the re-anchored per-cycle
+    # certification in round 4 — 1.4 m divergence by cycle 14).
     warm_admm_iters: int = 120
     # fused warm-QP kernel dots (see PathPlanConfig.warm_kernel_matmul)
     warm_kernel_matmul: str = "bf16x3"
