@@ -451,11 +451,18 @@ def make_prefactored_qp(
 
     from emplanner_carla_tpu.ops import qp_pallas
 
-    pallas_solve = qp_pallas.make_pallas_qp(
-        Pt, At, D, E, c, phases, n_iters,
-        sigma=sigma, alpha=alpha, block=128, warm=warm,
-        matmul=kernel_matmul,
-    )
+    # two lane-block variants, same math bit-for-bit (lanes are rows of
+    # every kernel dot, accumulation runs along the shared k axis): the
+    # 512-lane block keeps the MXU pipeline full across the serial
+    # iteration loop and quarters the grid steps at fleet batch sizes
+    pallas_solve = {
+        blk: qp_pallas.make_pallas_qp(
+            Pt, At, D, E, c, phases, n_iters,
+            sigma=sigma, alpha=alpha, block=blk, warm=warm,
+            matmul=kernel_matmul,
+        )
+        for blk in (512, 128)
+    }
 
     def _eligible(axis_size):
         return jax.default_backend() == "tpu" and axis_size % 128 == 0
@@ -484,7 +491,7 @@ def make_prefactored_qp(
     def _rule(axis_size, in_batched, *args):
         args = _bcast_all(axis_size, in_batched, args)
         if _eligible(axis_size):
-            out = pallas_solve(*args)
+            out = pallas_solve[512 if axis_size % 512 == 0 else 128](*args)
         else:
             out = jax.vmap(solve)(*args)
         return out, jax.tree.map(lambda _: True, out)
