@@ -83,7 +83,13 @@ def astar_device(g: RoadGraph, start, goal):
     )                                              # (N, D)
     iota = jnp.arange(n, dtype=jnp.int32)
 
-    heur = jnp.hypot(xy[:, 0] - xy[goal, 0], xy[:, 1] - xy[goal, 1])
+    # goal one-hot hoisted out of the loop: `closed[goal]` / `xy[goal]`
+    # would be per-lane dynamic-index reads under the fleet vmap (TPU
+    # poison — the very pattern this function exists to avoid)
+    goal_oh = iota == goal
+    gx = jnp.sum(jnp.where(goal_oh, xy[:, 0], 0.0))
+    gy = jnp.sum(jnp.where(goal_oh, xy[:, 1], 0.0))
+    heur = jnp.hypot(xy[:, 0] - gx, xy[:, 1] - gy)
 
     INF = jnp.float32(1e30)
     g_cost0 = jnp.where(iota == start, 0.0, INF)
@@ -93,7 +99,7 @@ def astar_device(g: RoadGraph, start, goal):
 
     def body(_, state):
         g_cost, parent, in_open, closed = state
-        live = jnp.any(in_open) & ~closed[goal]
+        live = jnp.any(in_open) & ~jnp.any(closed & goal_oh)
         f = jnp.where(in_open & live, g_cost + heur, INF)
         # one-hot of the pop: first index attaining the min
         is_min = (f == jnp.min(f)) & in_open & live
@@ -123,7 +129,7 @@ def astar_device(g: RoadGraph, start, goal):
     g_cost, parent, in_open, closed = lax.fori_loop(
         0, n, body, (g_cost0, parent0, in_open0, closed0)
     )
-    return parent, closed[goal]
+    return parent, jnp.any(closed & goal_oh)
 
 
 def route_nodes_device(g: RoadGraph, start, goal, max_route: int | None = None):
@@ -204,7 +210,10 @@ def stitch_route_device(g: RoadGraph, route, valid, pad_to: int):
     adj_a = jnp.sum(jnp.where(oh_a[:, :, None], adj[None], 0), axis=1)
     adje_a = jnp.sum(jnp.where(oh_a[:, :, None], adj_edge[None], 0), axis=1)
     hit = (adj_a == b[:, None]) & (adj_a >= 0)       # (R-1, D)
-    eid = jnp.sum(jnp.where(hit, adje_a, 0), axis=1)
+    # FIRST matching edge (min id), not the sum over matches: a graph with
+    # two parallel edges between the same node pair would otherwise stitch
+    # a garbage summed edge id (host `edge_between` also takes the first)
+    eid = jnp.min(jnp.where(hit, adje_a, E), axis=1)
     has = pair_ok & jnp.any(hit, axis=1)
 
     # per-edge scalars/rows via one-hot over the E edges

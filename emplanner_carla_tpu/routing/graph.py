@@ -47,6 +47,10 @@ class RoadGraph:
                  NaN-padded beyond edge_n[e]
     edge_n:      (E,) valid waypoint count per edge
     edge_option: (E,) RoadOption tag
+    resolution:  waypoint resample spacing the graph was built at (metres);
+                 consumers converting point counts to metric route length
+                 (``scenario.routed_scenarios*``) read it from here instead
+                 of assuming the 2 m default
     """
 
     nodes_xy: np.ndarray
@@ -56,6 +60,7 @@ class RoadGraph:
     edge_path: np.ndarray
     edge_n: np.ndarray
     edge_option: np.ndarray
+    resolution: float = 2.0
 
     @property
     def n_nodes(self) -> int:
@@ -135,7 +140,7 @@ def build_graph(
 
     return RoadGraph(
         np.asarray(nodes), adj, adj_edge, edge_len, edge_path, edge_n,
-        edge_option,
+        edge_option, resolution=float(resolution),
     )
 
 

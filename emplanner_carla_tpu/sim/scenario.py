@@ -323,7 +323,7 @@ def routed_scenarios(
     )
 
     keys = jax.random.split(k_pop, batch)
-    resolution = 2.0  # graph resample spacing
+    resolution = town.resolution  # graph resample spacing (point count -> m)
     sc = jax.vmap(
         lambda k, gp, n: populate_scenario(
             k, cfg, gp, n.astype(jnp.float32) * resolution, **kw
@@ -395,7 +395,7 @@ def routed_scenarios_device(
         kappa=jnp.take_along_axis(gps.kappa, idx, axis=1),
     )
     keys = jax.random.split(k_pop, batch)
-    resolution = 2.0
+    resolution = town.resolution  # graph resample spacing (point count -> m)
     sc = jax.vmap(
         lambda k, gp, n: populate_scenario(
             k, cfg, gp, n.astype(jnp.float32) * resolution, **kw
