@@ -130,6 +130,36 @@ def test_stopped_ego_keeps_seeing_its_lead():
     assert not bool(np.asarray(m.collided).any())
 
 
+def test_substeps_closed_loop():
+    """``PlantConfig.substeps=2`` closed-loop coverage (round-4 verdict
+    item 6): the config knob must (a) surface its XLA-scan fallback with
+    the trace-time warning, (b) drive the loop to the same qualitative
+    outcome, and (c) stay near the substeps=1 trajectory over the first
+    plan cycle (both cycles plan from the identical state; only the
+    integrator differs, so divergence there is pure plant refinement)."""
+    from dataclasses import replace
+
+    cfg1 = EMConfig(loop=replace(CFG.loop, n_plans=3))
+    cfg2 = EMConfig(loop=replace(CFG.loop, n_plans=3),
+                    plant=replace(CFG.plant, substeps=2))
+    sc = scenario.make_scenario(jax.random.PRNGKey(0), cfg1)
+    _, m1 = closed_loop.simulate(sc.global_path, sc.ego0, sc.obstacles, cfg1)
+    with pytest.warns(UserWarning, match="tick kernel ineligible"):
+        _, m2 = closed_loop.simulate(
+            sc.global_path, sc.ego0, sc.obstacles, cfg2
+        )
+    s2 = closed_loop.summarize(m2)
+    assert not bool(s2["collided"])
+    assert float(s2["mean_speed_kmh"]) > 25.0
+    assert np.isfinite(float(s2["lateral_rmse"]))
+    # first-cycle proximity: same plan, finer integrator
+    d0 = np.hypot(
+        np.asarray(m2.x)[0] - np.asarray(m1.x)[0],
+        np.asarray(m2.y)[0] - np.asarray(m1.y)[0],
+    )
+    assert float(d0.max()) < 0.5, f"cycle-0 substep divergence {d0.max()}"
+
+
 @pytest.mark.slow
 def test_bitwise_deterministic_rerun():
     """Reproducibility: the whole compiled loop is a pure function — two
