@@ -13,12 +13,12 @@ from emplanner_carla_tpu.sim import scenario
 CFG = EMConfig(loop=dataclasses.replace(EMConfig().loop, n_plans=3))
 
 
-# NOTE: under this harness the axon sitecustomize replaces jax's CPU client,
-# which ignores --xla_force_host_platform_device_count — so pytest may see
-# a single device. These tests adapt to the available mesh size; true
-# 8-way sharding is validated by __graft_entry__.dryrun_multichip, which
-# the driver runs in a clean environment (verified manually with
-# `env -i ... python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"`).
+# conftest.py re-execs pytest with the axon sitecustomize scrubbed, so the
+# suite runs on a REAL 8-device virtual CPU mesh (the sitecustomize's
+# replacement CPU client used to ignore --xla_force_host_platform_device_count
+# and collapse it to one device). N_DEV stays dynamic so the tests also pass
+# in odd environments; the driver additionally runs __graft_entry__.dryrun_multichip(8)
+# in a clean environment as the semantics proof.
 N_DEV = len(jax.devices())
 
 
