@@ -94,3 +94,46 @@ def test_boxes_and_empty_scene():
         jax.vmap(lambda fr, e: detector.detect(fr, e, CFG))
     )(frames, egos)
     assert batched.valid.shape == (3, 8)
+
+
+def test_subpixel_accuracy_grid():
+    """Sub-pixel localization ceiling (round-4 verdict item 3): over a
+    7x7 (range, lateral) grid at 8-40 m with the DEFAULT 96x64 camera,
+    the depth-profile parabola fit must recover world positions to
+    centimetres — mean < 5 cm, max < 25 cm (measured: mean 1.4 cm,
+    p90 3.6 cm, max 13 cm at 40 m; the pre-fit box-centre bearing
+    floor was ~17 cm at 10 m). This is the deterministic near-range
+    ceiling behind the fleet's mean matched perception error
+    (0.103-0.105 m at batch 4096 on the TPU, from 0.178)."""
+    cam = camera.CameraConfig()   # default 96x64 (the pixel loop's)
+    n = 128
+    gx = jnp.arange(n, dtype=jnp.float32) * 2.0
+    z = jnp.zeros(n, jnp.float32)
+    gp = Path(gx, z, z, z)
+    zz = jnp.zeros(())
+    ego = EgoState(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                   jnp.float32(8.0), zz, zz, zz, zz, zz)
+
+    @jax.jit
+    @jax.vmap
+    def one(ox, oy):
+        x = jnp.zeros(4).at[0].set(ox)
+        y = jnp.zeros(4).at[0].set(oy)
+        val = jnp.zeros(4, bool).at[0].set(True)
+        obs = Obstacles(x, y, jnp.zeros(4), jnp.zeros(4), val)
+        fr = camera.render(ego, gp, obs, cam, road_classes=False)
+        det = detector.detect(fr, ego, cam)
+        v = det.valid[:4]
+        oh = jnp.arange(8) == jnp.argmax(v)
+        dx = jnp.sum(jnp.where(oh, det.x, 0.0)) - ox
+        dy = jnp.sum(jnp.where(oh, det.y, 0.0)) - oy
+        return jnp.where(jnp.any(v), jnp.hypot(dx, dy), jnp.nan)
+
+    rngs = np.array([8, 12, 16, 20, 25, 30, 40], np.float32)
+    lats = np.array([-4, -2, -0.7, 0.0, 1.3, 3, 5], np.float32)
+    OX, OY = np.meshgrid(rngs, lats)
+    errs = np.asarray(one(jnp.asarray(OX.ravel()), jnp.asarray(OY.ravel())))
+    seen = ~np.isnan(errs)
+    assert seen.sum() >= 45, f"only {seen.sum()}/49 grid points detected"
+    assert float(errs[seen].mean()) < 0.05, errs[seen].mean()
+    assert float(errs[seen].max()) < 0.25, errs[seen].max()
