@@ -764,12 +764,16 @@ def _speed_stage(target, ego, accel, dyn, cfg):
 
 
 def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5,
-                  applied0=0.0, accel0=0.0, arrived0=False):
+                  applied0=0.0, accel0=0.0, arrived0=False,
+                  return_speed=False):
     """Full EM closed loop (path + S-T speed planning), float64 — the
     oracle for closed_loop.simulate_full (test_10's intent, quirk Q10).
 
     statics: [(x, y)]; dynamics: [(x, y, vx, vy)] advancing at constant
-    velocity each tick. Returns (traj_x, traj_y) per tick.
+    velocity each tick. Returns (traj_x, traj_y) per tick — or
+    (traj_x, traj_y, traj_v) with ``return_speed`` (post-step ground speed
+    in m/s, the longitudinal channel the re-anchored certification bounds
+    against `TickMetrics.speed_kmh`).
 
     ``applied0``/``accel0`` seed the steering-actuator state and the
     last-tick acceleration (which pins the plan-start ddl0) — used by the
@@ -784,7 +788,7 @@ def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5,
     steer_of = _steer_fn(cfg)
     step_of = _plant_fn(cfg)
     dyn = [list(d) for d in dynamics]
-    xs_out, ys_out = [], []
+    xs_out, ys_out, vs_out = [], [], []
     for _ in range(n_plans):
         target = plan_cycle(
             global_xyTK, ego, statics, cfg, accel=accel,
@@ -822,6 +826,9 @@ def simulate_full(global_xyTK, ego0, statics, dynamics, cfg, n_plans=5,
                 d[1] += d[3] * cfg.plant.dt
             xs_out.append(ego[0])
             ys_out.append(ego[1])
+            vs_out.append(math.hypot(ego[3], ego[4]))
+    if return_speed:
+        return np.asarray(xs_out), np.asarray(ys_out), np.asarray(vs_out)
     return np.asarray(xs_out), np.asarray(ys_out)
 
 

