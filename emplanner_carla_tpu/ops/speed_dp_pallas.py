@@ -358,12 +358,29 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
     ``speed_planner.speed_dp``'s ``jax.custom_vmap`` rule whenever the
     vmapped batch fills whole lane registers (B % BLK == 0) on a TPU
     backend.
+
+    Liveness packing: the kernel's obstacle gate is per BLOCK — one lane
+    with a valid ST segment makes all 512 lanes of its block pay the full
+    sqrt/exp slab chain. In the headline fleet mix only ~5% of lane-cycles
+    carry a segment, spread uniformly, so EVERY block used to go live
+    (measured: the obstacle slabs cost 1.94 of the kernel's 2.77 ms/cycle
+    at batch 4096). Sorting lanes dead-first clusters the live lanes into
+    the minimal tail of blocks; every kernel op is lane-elementwise (the
+    only cross-lane reads are the block-wide gating `any`s, which switch
+    between bit-identical branches), so per-lane results are unchanged and
+    only the final (B, n_t)-shaped SpeedDPResult needs unpermuting.
     """
     from emplanner_carla_tpu.planner import speed_planner as SP
 
     n_s, n_t = cfg.n_s, cfg.n_t
     s_grid = jnp.asarray(np.asarray(cfg.s_grid), jnp.float32)
     t_grid = (jnp.arange(n_t, dtype=jnp.float32) + 1.0) * cfg.t_step
+
+    live = jnp.any(seg.valid, axis=1)
+    perm = jnp.argsort(live.astype(jnp.int32))        # dead lanes first
+    inv = jnp.argsort(perm)
+    seg = jax.tree.map(lambda a: jnp.take(a, perm, axis=0), seg)
+    v0 = jnp.take(v0, perm, axis=0)
 
     cost_last, top, args = speed_dp_recursion(seg, v0, cfg)
 
@@ -407,9 +424,11 @@ def speed_dp_batched(seg, v0: Array, cfg: SpeedPlanConfig):
     s_vals = s_rev[::-1]  # (n_t, B)
     valid_c = jnp.arange(n_t)[:, None] <= end_col[None, :]
     s_out = jnp.where(valid_c, s_vals, 0.0)
+    # undo the liveness packing (cheap: only the final (B, n_t) result
+    # crosses back, never the (B, n_t-1, n_s) predecessor tensor)
     return SP.SpeedDPResult(
-        s_out.T,
+        jnp.take(s_out.T, inv, axis=0),
         jnp.broadcast_to(t_grid[None, :], (B, n_t)),
-        valid_c.T,
-        end_col,
+        jnp.take(valid_c.T, inv, axis=0),
+        jnp.take(end_col, inv, axis=0),
     )
