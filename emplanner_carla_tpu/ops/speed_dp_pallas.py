@@ -27,10 +27,21 @@ The obstacle-cost math reproduces ``speed_planner._edge_obs_tensors``
 (single-sqrt point-segment distances, endpoint/interior decomposition,
 hoisted t-only subexpressions) term for term so the Pallas and XLA DPs
 stay numerically aligned. First-minimum tie-break of the reference DP
-(strict <, ``speed_planning_test.py:145``) via a masked min over the
-strictly-increasing s_grid (the first-minimum index also minimizes the
-station value), which also lets the kernel emit predecessor STATIONS
-instead of indices — no iota materialization, no index gathers anywhere.
+(strict <, ``speed_planning_test.py:145``) via the ascending-k running
+strict-< update of the k-sliced recursion (round 5 — see column_min),
+which also lets the kernel emit predecessor STATIONS instead of
+indices — no iota materialization, no index gathers anywhere.
+
+Round-5 structure (measured on the chained standalone solve, batch 4096):
+
+* liveness packing in ``speed_dp_batched`` (see its docstring): spread
+  fleet mix 3.01 -> 1.03 ms/DP, headline 429.6k -> 501.7k cycles/s;
+* k-sliced recursion: the per-column transition update iterates the 40
+  predecessor stations as (n_s, blk) slices with an incremental
+  first-min instead of materializing (n_s, n_s, blk) slabs ~14 times —
+  intermediates stay in vector registers. Spread 1.03 -> 0.83,
+  all-dead 0.93 -> 0.57 ms/DP; bit-identical (same per-element op
+  order; ascending-k strict-< = the masked-sg-min tie-break).
 """
 
 from __future__ import annotations
@@ -102,7 +113,7 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
         return jnp.where(d < coll_d, w_obs, jnp.where(d < dang_d, band, 0.0))
 
     def kernel(v0_ref, si_ref, so_ref, ti_ref, to_ref, va_ref,
-               dv_ref, reftr_ref, sg_ref, v0e_ref, ref0_ref,
+               dvT_ref, reftrT_ref, sg_ref, v0e_ref, ref0_ref,
                smid_ref, s0_ref,
                cost_out, top0_out, arg_out,
                cost_s, sdot_s, top0_s, obs_s):
@@ -235,40 +246,49 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
 
         cost_prev = cost_s[:]                    # (n_s, BLK)
         sdot_prev = sdot_s[:]
-        dv = dv_ref[:]                           # (k, j)
-        accel = (dv[:, :, None] - sdot_prev[:, None, :]) / dt
-        # factor-form select (w vs pen*w scalars) then ONE multiply by a^2
-        # — two fewer full-slab passes than selecting between two products;
-        # matches the XLA path's `w * accel**2` association exactly
-        a_sq = accel * accel
-        acc_cost = jnp.where(
-            (accel < a_hi) & (accel > a_lo), w_acc, pen * w_acc
-        ) * a_sq
-        base = (
-            cost_prev[:, None, :]
-            + reftr_ref[:][:, :, None]
-            + acc_cost
+        dvT = dvT_ref[:]                         # (j, k)
+        reftrT = reftrT_ref[:]                   # (j, k)
+
+        # k-sliced incremental first-min instead of materializing the
+        # (n_s, n_s, BLK) transition slab: every intermediate is one
+        # (n_s, BLK) slice (~20 vregs at blk=512), so the chain lives in
+        # vector registers instead of round-tripping VMEM ~14 times per
+        # column. Per-element op order is IDENTICAL to the slab form
+        # (sub, div, square, range-select, multiply, two adds), and the
+        # ascending-k strict-< update reproduces the reference first-min
+        # tie-break exactly (s_grid increasing => first minimum has the
+        # smallest station), so results are bit-identical.
+        def column_min(with_obs):
+            cost_new = None
+            s_sel = None
+            for k in range(n_s):
+                accel = (dvT[:, k : k + 1] - sdot_prev[k : k + 1, :]) / dt
+                a_sq = accel * accel
+                acc_cost = jnp.where(
+                    (accel < a_hi) & (accel > a_lo), w_acc, pen * w_acc
+                ) * a_sq
+                tmp = (cost_prev[k : k + 1, :] + reftrT[:, k : k + 1]
+                       ) + acc_cost
+                if with_obs:
+                    tmp = tmp + obs_s[k]
+                if cost_new is None:
+                    cost_new, s_sel = tmp, jnp.full(
+                        (n_s, blk), float(s_grid_np[0]), jnp.float32
+                    )
+                else:
+                    better = tmp < cost_new
+                    cost_new = jnp.where(better, tmp, cost_new)
+                    s_sel = jnp.where(better, float(s_grid_np[k]), s_sel)
+            return cost_new, s_sel
+
+        # the obs slab reads are skipped entirely for dead columns (the
+        # common case: headline blocks carry no valid segment and a
+        # populated block's segment spans ~1 of the 15 columns)
+        cost_new, s_sel = jax.lax.cond(
+            live_any,
+            lambda: column_min(True),
+            lambda: column_min(False),
         )
-        # the obs slab read + add is skipped entirely for dead columns
-        # (the common case: headline blocks carry no valid segment and a
-        # populated block's segment spans ~1 of the 15 columns) — the
-        # branch replaces an unconditional 64k-element zero + read + add
-        total = jax.lax.cond(
-            live_any, lambda b: b + obs_s[:], lambda b: b, base
-        )
-        cost_new = jnp.min(total, axis=0)        # (j, BLK)
-        # predecessor STATION instead of index: s_grid is strictly
-        # increasing (asserted at trace time), so the first-minimum k of
-        # the reference tie-break also minimizes sg[k] over the is_min
-        # mask — one masked min yields the chosen predecessor's station
-        # value directly (bit-exact copies of s_grid entries), and the
-        # backtrack matches stations by exact equality. Eliminates the
-        # explicit iota-argmin (iota materialization + where + min, three
-        # full-slab passes) the index form needed.
-        is_min = total <= cost_new[None, :, :]
-        s_sel = jnp.min(
-            jnp.where(is_min, sg[:, :, None], jnp.float32(1e30)), axis=0
-        )                                        # (j, BLK)
         sdot_new = (sg[:, 0][:, None] - s_sel) / dt
 
         cost_s[:] = cost_new
@@ -329,7 +349,7 @@ def speed_dp_recursion(seg, v0: Array, cfg: SpeedPlanConfig):
         v0[None, :],
         seg.s_in.T, seg.s_out.T, seg.t_in.T, seg.t_out.T,
         seg.valid.astype(jnp.float32).T,
-        jnp.asarray(dv_np), jnp.asarray(ref_tr_np),
+        jnp.asarray(dv_np.T.copy()), jnp.asarray(ref_tr_np.T.copy()),
         jnp.asarray(s_grid_np)[:, None],
         jnp.asarray(v0_edge_np)[:, None],
         jnp.asarray(ref0_np)[:, None],
