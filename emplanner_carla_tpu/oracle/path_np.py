@@ -183,10 +183,12 @@ def path_qp_scipy(
     b_in = []
     fi = int(np.ceil(d1 / ds))
     bi = int(np.ceil(d2 / ds))
+    # 4 distinct corner rows/station (the reference's 8 come in pairs with
+    # identical lhs and shared slack, differing -+hw in the bound — the
+    # looser of each pair is implied; mirrored in planner/path_qp.py)
     sub = np.array(
         [
-            [1, d1, 0], [1, d1, 0], [1, -d2, 0], [1, -d2, 0],
-            [-1, -d1, 0], [-1, -d1, 0], [-1, d2, 0], [-1, d2, 0],
+            [1, d1, 0], [1, -d2, 0], [-1, -d1, 0], [-1, d2, 0],
         ]
     )
     hw = host_w / 2
@@ -194,10 +196,10 @@ def path_qp_scipy(
         i1 = min(i + fi, n - 1)
         i2 = max(i - bi, 0)
         bs = [
-            l_max[i1] - hw, l_max[i1] + hw, l_max[i1] - hw, l_max[i1] + hw,
-            -l_min[i2] + hw, -l_min[i2] - hw, -l_min[i2] + hw, -l_min[i2] - hw,
+            l_max[i1] - hw, l_max[i1] - hw,
+            -l_min[i2] - hw, -l_min[i2] - hw,
         ]
-        for r in range(8):
+        for r in range(4):
             row = np.zeros(nv)
             row[3 * i : 3 * i + 3] = sub[r]
             rows_in.append(row)
@@ -217,7 +219,7 @@ def path_qp_scipy(
     A_in2 = np.zeros((A_in.shape[0], n_total))
     A_in2[:, :nv] = A_in
     for i in range(n):
-        A_in2[8 * i : 8 * i + 8, nv + i] = -1.0
+        A_in2[4 * i : 4 * i + 4, nv + i] = -1.0
     bounds = [(None, None)] * nv + [(0.0, None)] * n
 
     from scipy.optimize import Bounds, LinearConstraint

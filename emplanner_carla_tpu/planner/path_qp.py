@@ -150,24 +150,30 @@ def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
         P[nv + i, nv + i] = 2.0 * cfg.w_slack
     Aeq = widen(Aeq)
 
-    # corner inequalities, 8 per station (path_planning.py:115-142), softened
+    # corner inequalities (path_planning.py:115-142), softened. The
+    # reference enumerates 8 rows per station, but its pairs (the two
+    # vehicle edges +-host_w/2 against the same corridor bound) share the
+    # identical lhs AND the station's shared slack, differing only by
+    # -+hw in the bound — the looser row of each pair is implied by the
+    # tighter one, in the hard form and in this soft form alike, so 4
+    # distinct rows per station carry the identical feasible set and
+    # optimum. Round 5: dropping the implied rows takes m 257 -> 165,
+    # whose 128-multiple MXU padding is 256 instead of 384 — a third off
+    # the warm Pallas kernel's per-iteration A-dots (the call-site bounds
+    # keep the TIGHTER bound of each original pair).
     d1, d2 = cfg.host_d1, cfg.host_d2
-    A_in = np.zeros((8 * n, n_total))
+    A_in = np.zeros((4 * n, n_total))
     A_sub = np.array(
         [
             [1, d1, 0],
-            [1, d1, 0],
-            [1, -d2, 0],
             [1, -d2, 0],
             [-1, -d1, 0],
-            [-1, -d1, 0],
-            [-1, d2, 0],
             [-1, d2, 0],
         ]
     )
     for i in range(n):
-        A_in[8 * i : 8 * i + 8, 3 * i : 3 * i + 3] = A_sub
-        A_in[8 * i : 8 * i + 8, nv + i] = -1.0  # shared slack per station
+        A_in[4 * i : 4 * i + 4, 3 * i : 3 * i + 3] = A_sub
+        A_in[4 * i : 4 * i + 4, nv + i] = -1.0  # shared slack per station
 
     # endpoint pinning rows (start state + zero end state,
     # path_planning.py:144-160) as equality rows on the first/last blocks
@@ -184,7 +190,7 @@ def _qp_constants(n: int, ds: float, cfg: PathPlanConfig):
     A = np.concatenate([Aeq, A_in, A_pin, A_sl])
     eq_mask = np.zeros(A.shape[0], bool)
     eq_mask[: 2 * (n - 1)] = True                  # continuity rows
-    eq_mask[2 * (n - 1) + 8 * n : 2 * (n - 1) + 8 * n + 6] = True  # pins
+    eq_mask[2 * (n - 1) + 4 * n : 2 * (n - 1) + 4 * n + 6] = True  # pins
     front_index = int(np.ceil(d1 / ds))
     back_index = int(np.ceil(d2 / ds))
     return (
@@ -216,7 +222,7 @@ def warm_state_init(n: int):
     """Zero ADMM state for the n-station path QP (seed for the first
     cycle's warm-started solve)."""
     n_var = 4 * n                       # [l, dl, ddl] x n + n slacks
-    m = 2 * (n - 1) + 8 * n + 6 + n     # continuity + corners + pins + slack
+    m = 2 * (n - 1) + 4 * n + 6 + n     # continuity + corners + pins + slack
     return qp.warm_zero_state(n_var, m)
 
 
@@ -264,19 +270,16 @@ def path_qp(
     i_front = jnp.minimum(i + front_index, n - 1)
     i_back = jnp.maximum(i - back_index, 0)
     hw = cfg.host_w / 2
+    # tighter bound of each original 8-row pair (see _qp_constants)
     b_sub = jnp.stack(
         [
             l_max[i_front] - hw,
-            l_max[i_front] + hw,
             l_max[i_front] - hw,
-            l_max[i_front] + hw,
-            -l_min[i_back] + hw,
             -l_min[i_back] - hw,
-            -l_min[i_back] + hw,
             -l_min[i_back] - hw,
         ],
         axis=-1,
-    ).reshape(-1)  # (8n,)
+    ).reshape(-1)  # (4n,)
 
     start = jnp.stack([plan_start_l, plan_start_dl, plan_start_ddl])
     end = jnp.zeros(3)
@@ -284,7 +287,7 @@ def path_qp(
         [jnp.zeros(2 * (n - 1)), b_sub, start, end, jnp.full(n, BIG)]
     )
     l = jnp.concatenate(
-        [jnp.zeros(2 * (n - 1)), jnp.full(8 * n, -BIG), start, end,
+        [jnp.zeros(2 * (n - 1)), jnp.full(4 * n, -BIG), start, end,
          jnp.zeros(n)]
     )
 

@@ -35,11 +35,11 @@ def test_pallas_matches_jnp_prefactored():
     rng = np.random.default_rng(3)
     q = rng.normal(size=(B, nv)).astype(np.float32) * 100.0
     u = np.concatenate(
-        [np.zeros((B, 48)), np.full((B, 200), 8.0), np.zeros((B, 6)),
+        [np.zeros((B, 48)), np.full((B, 4 * n), 8.0), np.zeros((B, 6)),
          np.full((B, n), 1e8)], axis=1
     ).astype(np.float32)
     l = np.concatenate(
-        [np.zeros((B, 48)), np.full((B, 200), -1e8), np.zeros((B, 6)),
+        [np.zeros((B, 48)), np.full((B, 4 * n), -1e8), np.zeros((B, 6)),
          np.zeros((B, n))], axis=1
     ).astype(np.float32)
     x1 = jax.vmap(solve_jnp)(jnp.asarray(q), jnp.asarray(l), jnp.asarray(u))
@@ -69,11 +69,11 @@ def test_pallas_warm_matches_jnp_prefactored():
     rng = np.random.default_rng(5)
     q = rng.normal(size=(B, nv)).astype(np.float32) * 100.0
     u = np.concatenate(
-        [np.zeros((B, 48)), np.full((B, 200), 8.0), np.zeros((B, 6)),
+        [np.zeros((B, 48)), np.full((B, 4 * n), 8.0), np.zeros((B, 6)),
          np.full((B, n), 1e8)], axis=1
     ).astype(np.float32)
     l = np.concatenate(
-        [np.zeros((B, 48)), np.full((B, 200), -1e8), np.zeros((B, 6)),
+        [np.zeros((B, 48)), np.full((B, 4 * n), -1e8), np.zeros((B, 6)),
          np.zeros((B, n))], axis=1
     ).astype(np.float32)
     state = (
@@ -122,11 +122,11 @@ def test_pallas_bf16x3_matches_jnp_prefactored():
     rng = np.random.default_rng(11)
     q = rng.normal(size=(B, nv)).astype(np.float32) * 100.0
     u = np.concatenate(
-        [np.zeros((B, 48)), np.full((B, 200), 8.0), np.zeros((B, 6)),
+        [np.zeros((B, 48)), np.full((B, 4 * n), 8.0), np.zeros((B, 6)),
          np.full((B, n), 1e8)], axis=1
     ).astype(np.float32)
     l = np.concatenate(
-        [np.zeros((B, 48)), np.full((B, 200), -1e8), np.zeros((B, 6)),
+        [np.zeros((B, 48)), np.full((B, 4 * n), -1e8), np.zeros((B, 6)),
          np.zeros((B, n))], axis=1
     ).astype(np.float32)
     st = (jnp.zeros((B, nv)), jnp.zeros((B, m)), jnp.zeros((B, m)))
