@@ -45,6 +45,12 @@ import jax.numpy as jnp
 from emplanner_carla_tpu.sim import camera as camera_mod
 from emplanner_carla_tpu.types import Array, EgoState
 
+# adjacent-column near-face depth step above which a run is split into two
+# objects (within one cylinder the step is bounded by ~VEHICLE_RADIUS at
+# the silhouette edge; between a partially-occluding pair it is the
+# inter-object range gap)
+SPLIT_DEPTH = 1.6
+
 
 class Detections(NamedTuple):
     """Fixed-width detection slots (per frame)."""
@@ -73,16 +79,28 @@ def _detect_class(
     near-face horizontal range at that azimuth.
     """
     H, W = sem.shape
+    BIGF = jnp.float32(1e9)
     mask = sem == cls                               # (H, W)
     col = jnp.any(mask, axis=0)                     # (W,)
+    # per-column near-face horizontal range (row-invariant for cylinder
+    # hits; the min collapses f32 rounding across rows)
+    col_d = jnp.min(jnp.where(mask, depth_h, BIGF), axis=0)      # (W,)
     prev = jnp.concatenate([jnp.zeros(1, bool), col[:-1]])
-    start = col & ~prev
+    # split runs at depth discontinuities: two same-class objects that
+    # overlap in column space (one partially occluding the other) used to
+    # merge into ONE run whose box-centre/parabola landed between them —
+    # a phantom mid-point detection metres from either object. Within one
+    # upright cylinder the adjacent-column near-face step is bounded by
+    # ~R (silhouette-edge chord, 1.0 m for vehicles), so a step above
+    # SPLIT_DEPTH must be an object boundary.
+    prev_d = jnp.concatenate([jnp.full(1, BIGF), col_d[:-1]])
+    jump = jnp.abs(col_d - prev_d) > SPLIT_DEPTH
+    start = col & (~prev | jump)
     run_id = jnp.cumsum(start) - 1                  # 0-based id on run columns
     run_id = jnp.where(col, run_id, -1)
 
     d = jnp.arange(max_det)
     sel = run_id[None, :] == d[:, None]             # (D, W) column membership
-    BIGF = jnp.float32(1e9)
     u = jnp.arange(W)
     u_min = jnp.min(jnp.where(sel, u[None, :], W), axis=1)
     u_max = jnp.max(jnp.where(sel, u[None, :], -1), axis=1)
@@ -93,9 +111,6 @@ def _detect_class(
     v_min = jnp.min(jnp.where(jnp.any(pix, 2), v[None, :], H), axis=1)
     v_max = jnp.max(jnp.where(jnp.any(pix, 2), v[None, :], -1), axis=1)
 
-    # per-column near-face horizontal range (row-invariant for cylinder
-    # hits; the min collapses f32 rounding across rows)
-    col_d = jnp.min(jnp.where(mask, depth_h, BIGF), axis=0)      # (W,)
     d_in = jnp.where(sel, col_d[None, :], BIGF)                  # (D, W)
     d_m = jnp.min(d_in, axis=1)                                  # (D,)
     is_min = (d_in == d_m[:, None]) & sel
