@@ -251,19 +251,29 @@ def path_dp(
     cost_last, (_, args) = jax.lax.scan(step, cost0, edge_costs)
 
     # ---- backtrack ----
+    # one-hot contractions, not index gathers: `arg_col[row]` in the scan
+    # and `l_grid[col_rows]` lowered to per-lane gather fusions measured
+    # 0.21 ms/cycle at batch 4096 (device trace, round 5); the masked
+    # sums select identical values exactly
     end_row = jnp.argmin(cost_last).astype(jnp.int32)
-    feasible = cost_last[end_row] <= cfg.w_collision
+    feasible = jnp.min(cost_last) <= cfg.w_collision
+    iota_r = jnp.arange(rows)
 
     def back(carry, arg_col):
         row = carry          # row chosen at column j+1
-        prev = arg_col[row]  # row chosen at column j
+        prev = jnp.sum(jnp.where(iota_r == row, arg_col, 0)).astype(
+            jnp.int32
+        )                    # row chosen at column j
         return prev, row
 
     row0, rows_tail = jax.lax.scan(back, end_row, args, reverse=True)
     # rows_tail[j] is the row of column j+1; row0 is column 0's row.
     col_rows = jnp.concatenate([row0[None], rows_tail])
 
-    dp_l = l_grid[col_rows]
+    dp_l = jnp.sum(
+        jnp.where(col_rows[:, None] == iota_r[None, :], l_grid[None, :], 0.0),
+        axis=1,
+    )
     any_obs = jnp.any(obs_valid)
     dp_l = jnp.where(any_obs, dp_l, 0.0)  # no-obstacle straight line
     dp_s = plan_start_s + (jnp.arange(cols, dtype=jnp.float32) + 1.0) * h

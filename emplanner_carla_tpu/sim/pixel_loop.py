@@ -19,25 +19,31 @@ from the recorded ego poses against closed-form constant-velocity truth).
 
 Safety characterization (measured at batch 4096 x 20 cycles on the bench
 distribution, across seeds 3/5/7/11): with PATH-ONLY planning the loop
-grazes parked cars in 4.8-5.9% of scenarios (195-241/4096 per seed;
-clearances land at 1.45-1.50 m against the 1.5 m radius). Root cause is
-the planner MODE, not the camera: the same path-only loop on ground
-truth grazes 3.4% (140/4096 on its seed) — tight random geometry
-threaded at speed through the soft corridor, the same hole the
+grazes parked cars in 3.9-4.5% of scenarios (159-186/4096 per seed).
+Root cause is the planner MODE, not the camera: the same path-only loop
+on ground truth grazes 3.4% (140/4096 on its seed) — tight random
+geometry threaded at speed through the soft corridor, the same hole the
 reference's test_9 config has (its DP follows colliding paths outright
 when infeasible) — and perception noise converts more near-misses into
-grazes. The pixel excess is bearing quantization at the LAST-REPLAN
-range (~17 cm lateral at 10 m with the 96-px camera), not track memory:
-the round-4 velocity-confidence coast gate + inverse-variance static
-position fusion (``update_tracks``) cut mean matched perception error
-0.191 -> 0.178 m and structurally eliminate the moving-object ghost
-class, but collision counts stay within the +-20/4096 cross-seed noise
-(measured both ways over 4 seeds), because a graze needs only ~5 cm of
-corridor error at the margin. ``full=True`` (the complete EM cycle with
-S-T speed planning on the estimates) measures **0/4096 collisions from
-pixels alone**: the speed planner slows through tight geometry, which
-inflated-margin and longer-track-memory experiments could not fix (both
-measured worse and were reverted; see CLAUDE.md round-3 notes).
+grazes. Round 5 halved the pixel excess over ground truth (was
+195-241/4096) by removing its two measured mechanisms: bearing
+quantization (~17 cm lateral at 10 m with the 96-px camera — the
+sub-pixel depth-parabola fit in sim/detector.py brings single-frame
+error to ~1.4 cm mean) and merged-run phantoms (two partially-occluding
+objects detected as one mid-point object — the depth-discontinuity run
+split, which moved collision counts on every seed while the sub-pixel
+fit alone did not). The residual 20-45/4096 excess is partial-occlusion
+centroid bias (~0.7 m on half-hidden objects) + coasting-track
+prediction error at the ~5 cm margin the grazes turn on. Earlier
+experiments that measured WORSE and were reverted: inflated margins,
+longer track memory (round 3), 12-cycle static coast budgets (round 4).
+``full=True`` (the complete EM cycle with S-T speed planning on the
+estimates) measures **0/4096 collisions from pixels alone** on every
+detector generation: the speed planner slows through tight geometry.
+Mean matched perception error at the bench scale: 0.120-0.124 m (the
+round-4 box-centre detector read 0.178; the sub-pixel fit alone read
+0.103 — the run split adds real but partially-occluded objects into the
+matched set, trading the metric up for the collision counts down).
 """
 
 from __future__ import annotations

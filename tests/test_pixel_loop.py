@@ -213,7 +213,9 @@ def test_batched_detection_quality():
     # sub-pixel detector (round-5): per-seed means 0.011-0.48 m (was
     # 0.1-0.6 with box-centre bearings), and at the bench scale —
     # batch 4096 x 20 cycles, seeds 3/5/7/11 on the TPU — fleet mean
-    # 0.103-0.105 m (was 0.178). Single-cycle spikes up to the 2 m match
+    # 0.120-0.124 m (was 0.178; 0.103 before the depth-discontinuity run
+    # split added real but partially-occluded objects to the matched
+    # set). Single-cycle spikes up to the 2 m match
     # gate remain possible by construction: an object ~75 m out spans
     # < 3 pixel columns, the parabola fit cannot engage, and the
     # box-centre fallback quantizes bearing at ~1.2 m/px at that range
