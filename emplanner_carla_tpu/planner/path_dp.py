@@ -26,7 +26,7 @@ an ``any()`` — identical cost, branch-free.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +109,63 @@ def transition_obstacle_costs(
 ) -> Array:
     """Obstacle cost of every transition edge, (cols-1, rows, rows).
 
+    Unbatched calls run the XLA form below; under ``vmap`` a
+    ``jax.custom_vmap`` rule dispatches TPU batches that fill whole lane
+    registers to the Pallas batch-in-lanes kernel
+    (``ops/path_obs_pallas.py``, bit-identical — the XLA folds below use
+    the kernel's accumulation order).
+    """
+    return _trans_obs_dispatch(cfg)(obs_s, obs_l, obs_valid, plan_start_s)
+
+
+@lru_cache(maxsize=None)
+def _trans_obs_dispatch(cfg: PathPlanConfig):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(obs_s, obs_l, obs_valid, plan_start_s):
+        return _transition_obstacle_costs_xla(
+            obs_s, obs_l, obs_valid, plan_start_s, cfg
+        )
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, obs_s, obs_l, obs_valid, plan_start_s):
+        from emplanner_carla_tpu.ops import path_obs_pallas
+
+        def bcast(a, was):
+            return a if was else jnp.broadcast_to(a, (axis_size,) + a.shape)
+
+        obs_s = bcast(obs_s, in_batched[0])
+        obs_l = bcast(obs_l, in_batched[1])
+        obs_valid = bcast(obs_valid, in_batched[2])
+        plan_start_s = bcast(plan_start_s, in_batched[3])
+        if (
+            jax.default_backend() == "tpu"
+            and axis_size % path_obs_pallas.BLK == 0
+        ):
+            out = path_obs_pallas.transition_obstacle_costs_batched(
+                obs_s, obs_l, obs_valid, plan_start_s, cfg
+            )
+        else:
+            out = jax.vmap(
+                lambda s, l, v, ps: _transition_obstacle_costs_xla(
+                    s, l, v, ps, cfg
+                )
+            )(obs_s, obs_l, obs_valid, plan_start_s)
+        return out, True
+
+    return f
+
+
+def _transition_obstacle_costs_xla(
+    obs_s: Array,
+    obs_l: Array,
+    obs_valid: Array,
+    plan_start_s: Array,
+    cfg: PathPlanConfig,
+) -> Array:
+    """The unbatched XLA form, (cols-1, rows, rows).
+
     Exactly ``_obs_cost`` over the dense (cols-1, rows, rows, m, K)
     squared-distance tensor (``cal_obs_cost``,
     ``/root/reference/planner/path_planning.py:588-609``), computed
@@ -150,15 +207,24 @@ def transition_obstacle_costs(
     ds2 = (obs_s[None, :, None] - s_cand) ** 2
     # lateral part is edge-column invariant: (K, rows, rows, m)
     dl2 = (obs_l[:, None, None, None] - trans_l[None]) ** 2
-    d2_cand = ds2[:, :, None, None, :] + dl2[None]  # (2, K, rows, rows, m)
     danger2 = cfg.danger_dist**2
     safe2 = cfg.safe_dist**2
-    collide = jnp.any(d2_cand <= danger2, axis=-1)  # (2, K, rows, rows)
-    band = (d2_cand > danger2) & (d2_cand < safe2)
-    band_cost = jnp.sum(
-        jnp.where(band, cfg.danger_cost_num / jnp.maximum(d2_cand, 1e-6), 0.0),
-        axis=-1,
-    )
+    # band cost folded over the m samples SEQUENTIALLY (and the per-
+    # obstacle scatter below folded k-outer/c-inner): the same
+    # accumulation order the Pallas kernel uses, so the two paths stay
+    # bit-identical (f32 addition is non-associative; a jnp.sum reduce
+    # tree would differ in the last ulp)
+    K = obs_s.shape[0]
+    collide = jnp.zeros((2, K, rows, rows), bool)
+    band_cost = jnp.zeros((2, K, rows, rows), jnp.float32)
+    for q in range(m):
+        d2q = ds2[:, :, None, None, q] + dl2[None, :, :, :, q]
+        collide = collide | (d2q <= danger2)
+        band_cost = band_cost + jnp.where(
+            (d2q > danger2) & (d2q < safe2),
+            cfg.danger_cost_num / jnp.maximum(d2q, 1e-6),
+            0.0,
+        )
     per_obs = jnp.where(collide, cfg.w_collision, 0.0) + band_cost
     # where (not multiply) so garbage/NaN in padded obstacle slots cannot
     # poison the scatter (0 * nan = nan).
@@ -168,12 +234,17 @@ def transition_obstacle_costs(
         (cand_n[:, :, None] - 1.0)
         == jnp.arange(cols - 1, dtype=jnp.float32)[None, None, :],
         False,
-    ).astype(per_obs.dtype)  # (2, K, cols-1)
-    # VPU mask-multiply-sum, NOT einsum: a (16->5x144) dot_general would
+    )  # (2, K, cols-1)
+    # VPU mask-select-sum, NOT einsum: a (16->5x144) dot_general would
     # ride the MXU at the planner's HIGHEST precision (6 passes) for a
     # contraction this tiny.
-    contrib = onehot[:, :, :, None, None] * per_obs[:, :, None]
-    return jnp.sum(contrib, axis=(0, 1))
+    out = jnp.zeros((cols - 1, rows, rows), jnp.float32)
+    for k in range(K):
+        for c in range(2):
+            out = out + jnp.where(
+                onehot[c, k][:, None, None], per_obs[c, k][None], 0.0
+            )
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
