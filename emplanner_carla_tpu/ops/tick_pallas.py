@@ -232,9 +232,9 @@ def run_ticks_batched(
              mf_out) = outs
         iota_path = jax.lax.broadcasted_iota(jnp.int32, (n_path, blk), 0)
         iota_tab = jax.lax.broadcasted_iota(jnp.int32, (n_tab, blk), 0)
-        iota_nd = jax.lax.broadcasted_iota(
-            jnp.int32, (n_dense, 1), 0
-        ).astype(jnp.float32)
+        iota_16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0).astype(
+            jnp.float32
+        )
         if traffic is not None:
             iota_gp = jax.lax.broadcasted_iota(jnp.int32, (n_gp, blk), 0)
             iota_K = jax.lax.broadcasted_iota(jnp.int32, (K, blk), 0)
@@ -271,7 +271,6 @@ def run_ticks_batched(
         not_ok = ok_v < 0.5
         destx = dest_ref[0:1]
         desty = dest_ref[1:2]
-        speed_prof = spd_ref[:]                         # (n_dense, BLK)
 
         def lat_match(px, py):
             """First-min node match + one-hot channel selection.
@@ -305,10 +304,26 @@ def run_ticks_batched(
             # all per-scenario values (1, BLK); obstacle arrays (K, BLK)
 
             # --- planned speed at t_rel (uniform hat, scalar time) ---
+            # The hat has <= 2 nonzero weights around a per-tick SCALAR
+            # index, so an 8-ALIGNED dynamic 16-row window (Mosaic needs
+            # sublane indices provably divisible by 8; the profile is
+            # edge-padded to 408 rows at the call boundary so k8+16 is
+            # always in range) replaces the full (n_dense, blk)
+            # contraction — ~400 of the ~2100 VPU-op cycle budget per
+            # block-tick at n_dense=401. Bit-identical to the full masked
+            # sum: every weight outside the window is an exact f32 zero
+            # (x + 0.0 preserves x) and the in-window terms are the same
+            # products in a commutative sum.
             t_rel = (i + 1).astype(jnp.float32) * dt
             u = jnp.clip(t_rel / t_dx, 0.0, n_dense - 1.0)
-            w_nd = jnp.maximum(0.0, 1.0 - jnp.abs(u - iota_nd))  # (nd, 1)
-            plan_speed = jnp.sum(speed_prof * w_nd, axis=0, keepdims=True)
+            k0 = jnp.minimum(jnp.floor(u), n_dense - 2.0).astype(jnp.int32)
+            k8 = (k0 // 8) * 8
+            rows = spd_ref[pl.ds(k8, 16)]                        # (16, blk)
+            w16 = jnp.maximum(
+                0.0,
+                1.0 - jnp.abs(u - (k8.astype(jnp.float32) + iota_16)),
+            )                                                    # (16, 1)
+            plan_speed = jnp.sum(rows * w16, axis=0, keepdims=True)
             plan_speed = jnp.where(not_ok, 0.0, plan_speed)
 
             # --- ACC time-headway guard (closed_loop.simulate_full) ---
@@ -795,14 +810,22 @@ def run_ticks_batched(
     out_tick = pl.BlockSpec(
         (n_ticks, blk), lambda b: (0, b), memory_space=pltpu.VMEM
     )
+    # edge-pad the speed profile so the kernel's 8-aligned 16-row hat
+    # window (k8 <= 8*floor((n_dense-2)/8), k8+16 rows read) stays in
+    # range; padded rows carry exact-zero hat weights
+    nd_pad = ((n_dense - 2) // 8) * 8 + 16
+    spd_in = jnp.pad(
+        traj_speed.T.astype(jnp.float32),
+        ((0, nd_pad - n_dense), (0, 0)), mode="edge",
+    )
     in_arrays = [
         ego_in, pid_buffer.T.astype(jnp.float32), pmisc_in, obs_in,
-        traj_speed.T.astype(jnp.float32), tgt_in, flag_in, dest_in,
+        spd_in, tgt_in, flag_in, dest_in,
     ]
     n_flag = 4 if lights is not None else 3
     in_specs = [
         bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K)),
-        bspec((n_dense,)), bspec((4, n_path)), bspec((n_flag,)), bspec((2,)),
+        bspec((nd_pad,)), bspec((4, n_path)), bspec((n_flag,)), bspec((2,)),
     ]
     out_specs = [bspec((9,)), bspec((n_buf,)), bspec((2,)), bspec((5, K))]
     out_shapes = [
