@@ -97,9 +97,14 @@ def virtual_obstacles(
     Returns (s (4,), l (4,), valid (4,)).
     """
     any_dyn = jnp.any(dyn_mask)
-    idx = jnp.argmin(jnp.where(dyn_mask, dist, jnp.inf))
-    d = dist[idx]
-    v_obs = obs_speed[idx]
+    # first-min one-hot contraction, not dist[argmin(...)]: per-lane
+    # dynamic-index reads under the fleet vmap lower to gather fusions
+    # (measured ~0.04-0.12 ms/cycle each at batch 4096)
+    score = jnp.where(dyn_mask, dist, jnp.inf)
+    is_min = score <= jnp.min(score)
+    first = is_min & (jnp.cumsum(is_min) == 1)  # argmin's first-min tie-break
+    d = jnp.sum(jnp.where(first, dist, 0.0))
+    v_obs = jnp.sum(jnp.where(first, obs_speed, 0.0))
     dv = ego_speed - v_obs
     closing = dv > 0.1
     dv_safe = jnp.where(closing, dv, 1.0)

@@ -317,7 +317,7 @@ def simulate_pixels(
             sel = (
                 rank[None, :] == jnp.arange(n_slots)[:, None]
             ) & mask[None, :]
-            return jnp.any(sel, axis=1), jnp.argmax(sel, axis=1)
+            return jnp.any(sel, axis=1), sel
 
         # moving tracks beyond the dynamic-slot budget OVERFLOW into the
         # static slots rather than vanishing (they lose only the S-T
@@ -327,13 +327,19 @@ def simulate_pixels(
         rank_dyn = jnp.cumsum(is_dyn.astype(jnp.int32)) - 1
         to_dyn = is_dyn & (rank_dyn < cfg.n_dynamic_obs)
         to_sta = tracks.valid & ~to_dyn
-        take_s, src_s = compact(to_sta, cfg.n_static_obs)
-        take_d, src_d = compact(to_dyn, cfg.n_dynamic_obs)
+        take_s, sel_s = compact(to_sta, cfg.n_static_obs)
+        take_d, sel_d = compact(to_dyn, cfg.n_dynamic_obs)
 
         def slot(a):
+            # one-hot contraction, NOT a[argmax(sel)]: the 8 per-lane
+            # slot gathers (4 fields x 2 groups) measured ~1.5 ms/cycle
+            # at batch 4096 — the same fleet-vmap gather poison as
+            # frenet._gather. Each sel row has at most one True, so the
+            # masked sum IS the selected element (exact), and rows with
+            # no hit produce the same 0.0 the old take-mask wrote.
             return jnp.concatenate([
-                jnp.where(take_s, a[src_s], 0.0),
-                jnp.where(take_d, a[src_d], 0.0),
+                jnp.sum(jnp.where(sel_s, a[None, :], 0.0), axis=1),
+                jnp.sum(jnp.where(sel_d, a[None, :], 0.0), axis=1),
             ])
 
         est = Obstacles(
