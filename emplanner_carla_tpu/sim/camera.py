@@ -232,6 +232,135 @@ def render(
     return CameraFrame(semantic, depth, flow)
 
 
+class ColumnView(NamedTuple):
+    """Per-column object view — all the frame information sim/detector.py's
+    column-run detector actually consumes, without the row dimension.
+
+    Row 0 = VEHICLE class, row 1 = WALKER class:
+    """
+
+    col: Array    # (2, W) bool — any pixel of the class in the column
+    col_d: Array  # (2, W) f32 — min near-face horizontal depth (1e9 empty)
+
+
+def render_columns(
+    ego: EgoState,
+    obs: Obstacles,
+    cfg: CameraConfig = CameraConfig(),
+    is_walker: Array | None = None,
+) -> ColumnView:
+    """Analytic column view of ``render`` — the per-column reduction of the
+    full frame computed WITHOUT rendering the rows.
+
+    ``detector.detect`` consumes only two row-reductions of the frame per
+    class: column presence (``any`` over rows) and the per-column near-face
+    horizontal depth (``min`` over rows). Both are closed-form for upright
+    cylinders: the horizontal depth ``d_h = t * |d_xy|`` of a cylinder hit
+    is row-invariant within a column (the 2-D ray/circle intersection
+    depends only on the column azimuth), and the rows that see slot ``k``
+    are exactly the integer rows in an interval — ``z_hit(v) = cam_z +
+    d_h * tan_b(v)`` is monotone in the row index, so ``0 < z_hit <
+    height`` maps to an open row interval ``(vlo_k, vhi_k)``.
+
+    Occlusion also stays column-local: every slot ``j`` nearer than ``k``
+    has ``vhi_j > vhi_k`` (the sub-horizon extent grows as objects get
+    closer), so inside ``I_k`` each nearer slot covers a SUFFIX of the row
+    interval and the union of beaters is a single threshold ``m_k = min_j
+    vlo_j``. Slot ``k`` is visible iff an integer row lies in
+    ``(vlo_k, vhi_k)`` with ``v <= m_k`` — first-min tie-break on equal
+    depths matches the frame renderer's strict running min over ascending
+    slots. The frame's ``max_depth`` clamp is folded in exactly:
+    ``min_v min(t, max_depth) * hfrac(v) = min(d_h, max_depth * min_v
+    hfrac(v))`` with ``hfrac`` extremal at the interval's endpoint rows.
+
+    vs the frame path this is W*K work instead of H*W*K (64x less at the
+    default camera) and, fused under the fleet vmap, removes the
+    (B, H, W) f32 depth tensor the row reductions forced XLA to
+    materialize — measured 1.88 ms/cycle at batch 4096 (26% of config 8's
+    device time) for the fused render+reduce, ~0.03 ms for this.
+    Equivalence with ``render``+row-reduce is float-tolerance, not
+    bit-exact (the frame path rounds per row; boundary rows in ulp ties
+    can flip), regression-tested distribution-level in tests/.
+    """
+    W, H = cfg.width, cfg.height
+    K = obs.k
+    if is_walker is None:
+        is_walker = jnp.zeros(K, bool)
+    BIGF = jnp.float32(1e9)
+
+    f = (cfg.width / 2.0) / math.tan(cfg.fov / 2.0)
+    cx = (cfg.width - 1) / 2.0
+    cy = (cfg.height - 1) / 2.0
+    a = (cx - jnp.arange(W, dtype=jnp.float32)) / f        # (W,)
+    L2 = 1.0 + a * a
+    L = jnp.sqrt(L2)
+
+    cphi, sphi = jnp.cos(ego.phi), jnp.sin(ego.phi)
+    cam_x = ego.x + cfg.mount_forward * cphi
+    cam_y = ego.y + cfg.mount_forward * sphi
+    cz = jnp.float32(cfg.mount_height)
+
+    # unnormalized 2-D ray direction per column (length L)
+    ux = cphi - a * sphi                                   # (W,)
+    uy = sphi + a * cphi
+
+    radius = jnp.where(is_walker, WALKER_RADIUS, VEHICLE_RADIUS)
+    height = jnp.where(is_walker, WALKER_HEIGHT, VEHICLE_HEIGHT)
+    ox = cam_x - obs.x                                     # (K,)
+    oy = cam_y - obs.y
+
+    # 2-D ray/circle: L2 t'^2 + 2 B t' + c0 = 0; d_h = t' * L
+    Bq = ux[None, :] * ox[:, None] + uy[None, :] * oy[:, None]  # (K, W)
+    c0 = (ox * ox + oy * oy - radius * radius)[:, None]
+    disc = Bq * Bq - L2[None, :] * c0
+    tp = (-Bq - jnp.sqrt(jnp.maximum(disc, 0.0))) / L2[None, :]
+    d_h = tp * L[None, :]                                  # (K, W)
+    hit = (disc > 0.0) & (tp > 0.0) & obs.valid[:, None]
+
+    dh_safe = jnp.where(hit, jnp.maximum(d_h, 1e-9), 1.0)
+    # visible-row interval: z_hit = cz + d_h * (cy - v) / (f * L)
+    vlo = cy - f * (height[:, None] - cz) * L[None, :] / dh_safe
+    vhi = cy + f * cz * L[None, :] / dh_safe
+
+    # occlusion threshold: m_k = min vlo_j over slots j beating k in this
+    # column (nearer, or equal-depth with lower index — the renderer's
+    # strict running-min tie-break)
+    dh_rank = jnp.where(hit, d_h, BIGF)
+    kk = jnp.arange(K)
+    beats = (
+        (dh_rank[:, None, :] < dh_rank[None, :, :])
+        | (
+            (dh_rank[:, None, :] == dh_rank[None, :, :])
+            & (kk[:, None, None] < kk[None, :, None])
+        )
+    ) & hit[:, None, :]                                    # (j, k, W)
+    m = jnp.min(
+        jnp.where(beats, vlo[:, None, :], jnp.inf), axis=0
+    )                                                      # (K, W)
+
+    v_first = jnp.maximum(jnp.floor(vlo) + 1.0, 0.0)
+    v_last = jnp.minimum(
+        jnp.minimum(jnp.ceil(vhi) - 1.0, jnp.floor(m)), H - 1.0
+    )
+    visible = hit & (v_first <= v_last)
+
+    # frame-path depth clamp: hfrac = L / n is extremal at the endpoint
+    # rows of the visible interval
+    def hfrac_at(v):
+        b = (cy - v) / f
+        return L[None, :] / jnp.sqrt(L2[None, :] + b * b)
+
+    hf = jnp.minimum(hfrac_at(v_first), hfrac_at(v_last))
+    d_face = jnp.minimum(d_h, cfg.max_depth * hf)
+
+    cols, col_ds = [], []
+    for wcls in (False, True):
+        sel = visible & (is_walker == wcls)[:, None]
+        cols.append(jnp.any(sel, axis=0))
+        col_ds.append(jnp.min(jnp.where(sel, d_face, BIGF), axis=0))
+    return ColumnView(jnp.stack(cols), jnp.stack(col_ds))
+
+
 def rgb_frame(frame: CameraFrame, cfg: CameraConfig = CameraConfig()) -> Array:
     """(H, W, 3) uint8 image: CityScapes palette + depth shading — the RGB
     camera's HUD-feed role (``Sensors_camera_lib.py:98-137``)."""

@@ -68,23 +68,19 @@ class Detections(NamedTuple):
     valid: Array    # (D,) bool
 
 
-def _detect_class(
-    sem: Array, depth_h: Array, cls: int, max_det: int
+def _runs_from_columns(
+    col: Array, col_d: Array, max_det: int
 ) -> tuple[Array, ...]:
-    """Column-run detector for one class.
+    """Column-run machinery shared by the frame and column-view paths.
 
-    ``depth_h`` is the horizontal-plane depth (see module docstring).
-    Returns per-slot ``(u_min, u_max, v_min, v_max, d_face, u_sub, valid)``
-    where ``u_sub`` is the sub-pixel centre column and ``d_face`` the
-    near-face horizontal range at that azimuth.
+    ``col`` (W,) bool class presence per column; ``col_d`` (W,) per-column
+    near-face horizontal range (1e9 on empty columns). Returns per-slot
+    ``(u_min, u_max, d_face, u_sub, valid, sel)`` where ``u_sub`` is the
+    sub-pixel centre column, ``d_face`` the near-face horizontal range at
+    that azimuth, and ``sel`` (D, W) the run's column membership.
     """
-    H, W = sem.shape
+    (W,) = col.shape
     BIGF = jnp.float32(1e9)
-    mask = sem == cls                               # (H, W)
-    col = jnp.any(mask, axis=0)                     # (W,)
-    # per-column near-face horizontal range (row-invariant for cylinder
-    # hits; the min collapses f32 rounding across rows)
-    col_d = jnp.min(jnp.where(mask, depth_h, BIGF), axis=0)      # (W,)
     prev = jnp.concatenate([jnp.zeros(1, bool), col[:-1]])
     # split runs at depth discontinuities: two same-class objects that
     # overlap in column space (one partially occluding the other) used to
@@ -105,11 +101,6 @@ def _detect_class(
     u_min = jnp.min(jnp.where(sel, u[None, :], W), axis=1)
     u_max = jnp.max(jnp.where(sel, u[None, :], -1), axis=1)
     valid = u_max >= u_min
-
-    pix = sel[:, None, :] & mask[None, :, :]        # (D, H, W)
-    v = jnp.arange(H)
-    v_min = jnp.min(jnp.where(jnp.any(pix, 2), v[None, :], H), axis=1)
-    v_max = jnp.max(jnp.where(jnp.any(pix, 2), v[None, :], -1), axis=1)
 
     d_in = jnp.where(sel, col_d[None, :], BIGF)                  # (D, W)
     d_m = jnp.min(d_in, axis=1)                                  # (D,)
@@ -149,6 +140,31 @@ def _detect_class(
         d_m + 0.5 * (d_r - d_l) * off + 0.5 * curv_s * off * off,
         d_m,
     )
+    return u_min, u_max, d_face, u_sub, valid, sel
+
+
+def _detect_class(
+    sem: Array, depth_h: Array, cls: int, max_det: int
+) -> tuple[Array, ...]:
+    """Column-run detector for one class, from the rendered frame.
+
+    ``depth_h`` is the horizontal-plane depth (see module docstring).
+    Returns per-slot ``(u_min, u_max, v_min, v_max, d_face, u_sub, valid)``.
+    """
+    H, W = sem.shape
+    BIGF = jnp.float32(1e9)
+    mask = sem == cls                               # (H, W)
+    col = jnp.any(mask, axis=0)                     # (W,)
+    # per-column near-face horizontal range (row-invariant for cylinder
+    # hits; the min collapses f32 rounding across rows)
+    col_d = jnp.min(jnp.where(mask, depth_h, BIGF), axis=0)      # (W,)
+    u_min, u_max, d_face, u_sub, valid, sel = _runs_from_columns(
+        col, col_d, max_det
+    )
+    pix = sel[:, None, :] & mask[None, :, :]        # (D, H, W)
+    v = jnp.arange(H)
+    v_min = jnp.min(jnp.where(jnp.any(pix, 2), v[None, :], H), axis=1)
+    v_max = jnp.max(jnp.where(jnp.any(pix, 2), v[None, :], -1), axis=1)
     return u_min, u_max, v_min, v_max, d_face, u_sub, valid
 
 
@@ -187,20 +203,65 @@ def detect(
         u_min, u_max, v_min, v_max, d_face, u_sub, valid = _detect_class(
             frame.semantic, depth_h, cls, max_det
         )
-        bearing = jnp.arctan((cx - u_sub) / f)      # camera frame, left +
-        # object centre: one radius beyond the detected near face
-        rng = d_face + radius
-        az = ego.phi + bearing
-        cphi, sphi = jnp.cos(ego.phi), jnp.sin(ego.phi)
-        cam_x = ego.x + cfg.mount_forward * cphi
-        cam_y = ego.y + cfg.mount_forward * sphi
-        x = cam_x + rng * jnp.cos(az)
-        y = cam_y + rng * jnp.sin(az)
-        outs.append(
-            Detections(
-                u_min, u_max, v_min, v_max,
-                jnp.where(valid, d_face, 0.0), bearing, x, y,
-                jnp.full(max_det, cls, jnp.int32), valid,
-            )
+        outs.append(_project(
+            ego, cfg, cls, radius, max_det,
+            u_min, u_max, v_min, v_max, d_face, u_sub, valid,
+        ))
+    return Detections(*(jnp.concatenate(a) for a in zip(*outs)))
+
+
+def _project(
+    ego, cfg, cls, radius, max_det,
+    u_min, u_max, v_min, v_max, d_face, u_sub, valid,
+):
+    """World-frame projection of per-run detections (shared by the frame
+    and column-view paths)."""
+    f = (cfg.width / 2.0) / math.tan(cfg.fov / 2.0)
+    cx = (cfg.width - 1) / 2.0
+    bearing = jnp.arctan((cx - u_sub) / f)          # camera frame, left +
+    # object centre: one radius beyond the detected near face
+    rng = d_face + radius
+    az = ego.phi + bearing
+    cphi, sphi = jnp.cos(ego.phi), jnp.sin(ego.phi)
+    cam_x = ego.x + cfg.mount_forward * cphi
+    cam_y = ego.y + cfg.mount_forward * sphi
+    x = cam_x + rng * jnp.cos(az)
+    y = cam_y + rng * jnp.sin(az)
+    return Detections(
+        u_min, u_max, v_min, v_max,
+        jnp.where(valid, d_face, 0.0), bearing, x, y,
+        jnp.full(max_det, cls, jnp.int32), valid,
+    )
+
+
+def detect_from_columns(
+    cols: camera_mod.ColumnView,
+    ego: EgoState,
+    cfg: camera_mod.CameraConfig = camera_mod.CameraConfig(),
+    max_det: int = 4,
+) -> Detections:
+    """``detect`` from the analytic column view (camera.render_columns) —
+    the same column-run + sub-pixel parabola machinery without ever
+    rendering the frame's rows.
+
+    Row-extent fields ``v_min``/``v_max`` are not recoverable from the
+    column view and are returned as zeros (no consumer of this path reads
+    them — sim/pixel_loop's tracker uses only x/y/depth/valid; HUD
+    overlays use the frame path). Everything else matches ``detect`` on
+    the rendered frame to float tolerance (camera.render_columns
+    docstring).
+    """
+    outs = []
+    for i, (cls, radius) in enumerate((
+        (camera_mod.VEHICLE, camera_mod.VEHICLE_RADIUS),
+        (camera_mod.WALKER, camera_mod.WALKER_RADIUS),
+    )):
+        u_min, u_max, d_face, u_sub, valid, _ = _runs_from_columns(
+            cols.col[i], cols.col_d[i], max_det
         )
+        zi = jnp.zeros(max_det, u_min.dtype)
+        outs.append(_project(
+            ego, cfg, cls, radius, max_det,
+            u_min, u_max, zi, zi, d_face, u_sub, valid,
+        ))
     return Detections(*(jnp.concatenate(a) for a in zip(*outs)))

@@ -257,7 +257,9 @@ class PixelMetrics(NamedTuple):
     perc_err: Array                 # (n_plans,) mean matched position error
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam_cfg", "max_det", "full"))
+@partial(jax.jit, static_argnames=(
+    "cfg", "cam_cfg", "max_det", "full", "columns",
+))
 def simulate_pixels(
     global_path: Path,
     ego0: EgoState,
@@ -267,6 +269,7 @@ def simulate_pixels(
     is_walker: Array | None = None,
     max_det: int = 4,
     full: bool = False,
+    columns: bool = True,
 ) -> tuple[PixelCarry, PixelMetrics]:
     """The closed loop of ``closed_loop.simulate`` with the planner's
     obstacle input replaced by camera detections.
@@ -294,14 +297,27 @@ def simulate_pixels(
 
     def plan_cycle(carry: PixelCarry, _):
         lc = carry.loop
-        # sense (road_classes=False: the detector reads only VEHICLE/WALKER
-        # pixels + depth, so the ROAD/TERRAIN polyline scan — the
-        # renderer's largest term — is skipped with identical detections)
-        frame = camera_mod.render(
-            lc.ego, global_path, lc.obstacles, cam_cfg, is_walker=is_walker,
-            road_classes=False,
-        )
-        det = detector.detect(frame, lc.ego, cam_cfg, max_det=max_det)
+        # sense. columns=True (default): the analytic per-column view —
+        # the detector reads only column presence + per-column near-face
+        # depth, both closed-form for cylinders, so the (H, W) frame never
+        # exists (W*K work instead of H*W*K; the fused frame render +
+        # row-reduce measured 1.88 ms/cycle at batch 4096, 26% of config
+        # 8's device time). columns=False renders the frame and reduces it
+        # (road_classes=False: the detector never reads ROAD/TERRAIN) —
+        # kept as the semantic base the column path is tested against.
+        if columns:
+            cols = camera_mod.render_columns(
+                lc.ego, lc.obstacles, cam_cfg, is_walker=is_walker,
+            )
+            det = detector.detect_from_columns(
+                cols, lc.ego, cam_cfg, max_det=max_det
+            )
+        else:
+            frame = camera_mod.render(
+                lc.ego, global_path, lc.obstacles, cam_cfg,
+                is_walker=is_walker, road_classes=False,
+            )
+            det = detector.detect(frame, lc.ego, cam_cfg, max_det=max_det)
         tracks = update_tracks(det, carry.tracks, plan_dt)
         # estimates -> the planner's slot layout: plan_full_cycle's S-T
         # stage reads only slots >= n_static_obs ("only dynamic slots can

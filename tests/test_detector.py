@@ -162,3 +162,60 @@ def test_depth_split_partial_occlusion():
            for (gx, gy), (wx, wy) in zip(got, [(12.0, 0.0), (18.0, 1.2)])]
     assert err[0] < 0.3, (got,)
     assert err[1] < 1.0, (got,)
+
+
+def test_column_view_matches_frame_detection():
+    """The analytic column view (camera.render_columns +
+    detector.detect_from_columns) reproduces frame-path detection
+    (render -> row-reduce -> detect) over randomized 12-slot scenes.
+
+    Equivalence is float-tolerance, not bit-exact (camera.render_columns
+    docstring): the frame path rounds the hit test per row/pixel, so a
+    grazing silhouette edge can flip ONE boundary column in ulp-tie
+    cases. The bar: identical valid patterns on every scene of this seed,
+    exact run starts (u_min), and p99 world-position agreement at the
+    millimetre level — the rare boundary-column flip moves a box-centre
+    fallback bearing by half a pixel at most (< 1 m in world frame)."""
+    cam = camera.CameraConfig(width=64, height=48)
+    rng = np.random.default_rng(0)
+    n = 128
+    gx = jnp.arange(n, dtype=jnp.float32) * 2.0
+    z = jnp.zeros(n, jnp.float32)
+    gp = Path(gx, z, z, z)
+
+    T, k = 128, 12
+    ex = jnp.asarray(rng.uniform(0, 50, T), jnp.float32)
+    ey = jnp.asarray(rng.uniform(-5, 5, T), jnp.float32)
+    phi = jnp.asarray(rng.uniform(-0.5, 0.5, T), jnp.float32)
+    ox = jnp.asarray(ex[:, None] + rng.uniform(3, 60, (T, k)), jnp.float32)
+    oy = jnp.asarray(ey[:, None] + rng.uniform(-12, 12, (T, k)), jnp.float32)
+    valid = jnp.asarray(rng.random((T, k)) < 0.8)
+    isw = jnp.asarray(rng.random((T, k)) < 0.3)
+
+    def one(ex, ey, phi, ox, oy, valid, isw):
+        zz = jnp.zeros(())
+        ego = EgoState(ex, ey, phi, jnp.float32(8.0), zz, zz, zz, zz, zz)
+        obs = Obstacles(ox, oy, jnp.zeros(k), jnp.zeros(k), valid)
+        frame = camera.render(
+            ego, gp, obs, cam, is_walker=isw, road_classes=False
+        )
+        d1 = detector.detect(frame, ego, cam, max_det=4)
+        cols = camera.render_columns(ego, obs, cam, is_walker=isw)
+        d2 = detector.detect_from_columns(cols, ego, cam, max_det=4)
+        return d1, d2
+
+    d1, d2 = jax.jit(jax.vmap(one))(ex, ey, phi, ox, oy, valid, isw)
+    v1, v2 = np.asarray(d1.valid), np.asarray(d2.valid)
+    assert np.array_equal(v1, v2), (
+        f"{int((v1 != v2).any(1).sum())} scenes with differing valid sets"
+    )
+    m = v1
+    assert np.array_equal(np.asarray(d1.u_min)[m], np.asarray(d2.u_min)[m])
+    for f1, f2, nm in (
+        (d1.x, d2.x, "x"), (d1.y, d2.y, "y"), (d1.depth, d2.depth, "depth")
+    ):
+        dd = np.abs(
+            np.asarray(f1, np.float64) - np.asarray(f2, np.float64)
+        )[m]
+        assert np.percentile(dd, 99) < 5e-3, (nm, np.percentile(dd, 99))
+        assert dd.max() < 1.0, (nm, dd.max())

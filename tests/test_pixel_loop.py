@@ -266,3 +266,40 @@ def test_pixel_loop_vmaps():
     )(gps, egos, obss)
     assert pm.ticks.x.shape[:2] == (B, 3)
     assert np.isfinite(np.asarray(pm.ticks.lateral_err)).all()
+
+
+def test_column_path_matches_frame_path_closed_loop():
+    """The closed loop on the analytic column view (columns=True, the
+    shipped default) tracks the frame-render path (columns=False, the
+    semantic base) through full feedback: same collision/arrival
+    behavior and centimetre-level trajectory agreement over 8 cycles.
+
+    Single-frame detections agree to p99 < 5 mm (test_detector's
+    equivalence test); this closes the loop on top — planner feedback
+    amplifies any systematic sensing difference, so trajectory-level
+    agreement here means the column view is a drop-in."""
+    cfg = EMConfig(
+        loop=dataclasses.replace(EMConfig().loop, n_plans=8)
+    )
+    scenarios = [
+        [(60.0, 0.3, 0.0)],                       # static avoid
+        [(45.0, -0.4, 0.0), (70.0, 1.0, 0.0)],    # two statics
+        [(40.0, 0.0, 3.0)],                       # slow lead (ACC)
+    ]
+    outs = []
+    for columns in (True, False):
+        ticks = []
+        for obs_list in scenarios:
+            gp, ego, obs = straight_scenario(cfg, obs_list)
+            _, pm = pixel_loop.simulate_pixels(
+                gp, ego, obs, cfg, CAM, full=True, columns=columns
+            )
+            ticks.append(pm.ticks)
+        outs.append(ticks)
+    for t_col, t_frm in zip(*outs):
+        assert np.array_equal(
+            np.asarray(t_col.collided), np.asarray(t_frm.collided)
+        )
+        dx = np.abs(np.asarray(t_col.x) - np.asarray(t_frm.x))
+        dy = np.abs(np.asarray(t_col.y) - np.asarray(t_frm.y))
+        assert max(dx.max(), dy.max()) < 0.05, (dx.max(), dy.max())
