@@ -18,8 +18,9 @@ the ESTIMATED obstacles; the true-world collision channel is recomputed
 from the recorded ego poses against closed-form constant-velocity truth).
 
 Safety characterization (measured at batch 4096 x 20 cycles on the bench
-distribution, across seeds 3/5/7/11): with PATH-ONLY planning the loop
-grazes parked cars in 3.9-4.5% of scenarios (159-186/4096 per seed).
+distribution, across seeds 3/5/7/11; re-measured identical on the
+round-5 column-view sensing path, 158-186/4096, mean 173.8): with
+PATH-ONLY planning the loop grazes parked cars in 3.9-4.5% of scenarios.
 Root cause is the planner MODE, not the camera: the same path-only loop
 on ground truth grazes 3.4% (140/4096 on its seed) — tight random
 geometry threaded at speed through the soft corridor, the same hole the
@@ -40,10 +41,11 @@ longer track memory (round 3), 12-cycle static coast budgets (round 4).
 ``full=True`` (the complete EM cycle with S-T speed planning on the
 estimates) measures **0/4096 collisions from pixels alone** on every
 detector generation: the speed planner slows through tight geometry.
-Mean matched perception error at the bench scale: 0.120-0.124 m (the
-round-4 box-centre detector read 0.178; the sub-pixel fit alone read
-0.103 — the run split adds real but partially-occluded objects into the
-matched set, trading the metric up for the collision counts down).
+Mean matched perception error at the bench scale: 0.111-0.116 m on the
+column-view path (frame path 0.120-0.124; the round-4 box-centre
+detector read 0.178; the sub-pixel fit alone read 0.103 — the run split
+adds real but partially-occluded objects into the matched set, trading
+the metric up for the collision counts down).
 """
 
 from __future__ import annotations
