@@ -194,6 +194,12 @@ def run_ticks_batched(
         P_MAXSPD_C = max(P_MAXSPD, 0.1)
         LANE_W = float(npc_mod.LANE_WIDTH)
         LANE_RATE = float(npc_mod.LANE_CHANGE_RATE)
+        # windowed agent fast path (see the w08 comment in the kernel);
+        # _force_full_path is a test hook pinning the full-path branch
+        W_ROWS = 96
+        use_window = n_gp > W_ROWS and not getattr(
+            run_ticks_batched, "_force_full_path", False
+        )
 
     if lights is not None:
         from emplanner_carla_tpu.sim.traffic_light import (
@@ -240,6 +246,36 @@ def run_ticks_batched(
             iota_K = jax.lax.broadcasted_iota(jnp.int32, (K, blk), 0)
             gp_x, gp_y, gp_th = gp_ref[0], gp_ref[1], gp_ref[2]  # (n_gp, blk)
             agentK = npcr_ref[3]                                 # (K, blk)
+            if use_window:
+                # block-shared 96-row window of the global path around the
+                # block's live agents (GLOBAL row ids carried in iota_win,
+                # so all index math below is identical in both views).
+                # Every agent-math reduction is a masked sum/min whose
+                # support is provably inside the window whenever the
+                # per-tick containment gate holds, so the windowed view is
+                # BIT-IDENTICAL to the full-path math there (extra rows
+                # only ever contribute exact zeros / +inf padding); the
+                # gate falls back to the full view otherwise. Motive: the
+                # agent math is ~27 (n_gp, blk) vector passes per live
+                # slot per tick — 2.27 of config 7's 3.27 ms/cycle tick
+                # kernel time at n_gp = 256 (device trace) — and the
+                # window cuts those passes 8/3 x. The start index is
+                # multiplied by 8 LAST so Mosaic can prove the sublane
+                # slice 8-aligned (the spd_ref hat-window idiom).
+                ag0 = (npcr_ref[3] > 0.5) & (obsr_ref[4] > 0.5)
+                imin = jnp.min(
+                    jnp.where(ag0, npcr_ref[0], jnp.float32(1e9))
+                )
+                w08 = jnp.clip(
+                    jnp.floor((imin - 24.0) / 8.0).astype(jnp.int32),
+                    0, (n_gp - W_ROWS) // 8,
+                ) * 8
+                gp_xw = gp_ref[0, pl.ds(w08, W_ROWS)]        # (W_ROWS, blk)
+                gp_yw = gp_ref[1, pl.ds(w08, W_ROWS)]
+                gp_thw = gp_ref[2, pl.ds(w08, W_ROWS)]
+                iota_win = jax.lax.broadcasted_iota(
+                    jnp.int32, (W_ROWS, blk), 0
+                ) + w08
         if lights is not None:
             # (L, blk) channels + the cycle's absolute start time (1, blk)
             tl_x, tl_y = tl_ref[0], tl_ref[1]
@@ -518,19 +554,37 @@ def run_ticks_batched(
                 )
                 spd_all = jnp.sqrt(ovx * ovx + ovy * ovy)   # (K, blk)
                 e_spd = jnp.sqrt(v_n * v_n + vy_n * vy_n)   # (1, blk)
-                rows = []
-                for kk in range(K):
+
+                def advance_npcs(gpx_a, gpy_a, gpth_a, iota_a):
+                    """Per-slot NPC advance over a view of the global path.
+
+                    ``iota_a`` carries GLOBAL row ids for the rows in the
+                    view, so every index comparison, clamp, and first-min
+                    pad below is identical math whether the view is the
+                    full path or the 96-row window — the reductions only
+                    differ by rows whose contribution is an exact zero
+                    (one-hot sums) or +inf (masked mins).
+                    """
+                    rows = []
+                    for kk in range(K):
+                        rows.append(_npc_row(kk, gpx_a, gpy_a, gpth_a,
+                                             iota_a))
+                    return tuple(
+                        jnp.concatenate([r[c] for r in rows], axis=0)
+                        for c in range(6)
+                    )
+
+                def _npc_row(kk, gpx_a, gpy_a, gpth_a, iota_a):
                     # static slots can never be agents (simulate_traffic:
                     # agent_slot = slot >= n_static_obs & fast) — skip the
                     # agent math and advance them at constant velocity
                     if kk < n_cv_slots:
-                        rows.append((
+                        return (
                             ox[kk : kk + 1] + ovx[kk : kk + 1] * dt,
                             oy[kk : kk + 1] + ovy[kk : kk + 1] * dt,
                             ovx[kk : kk + 1], ovy[kk : kk + 1],
                             idxK[kk : kk + 1], tgtK[kk : kk + 1],
-                        ))
-                        continue
+                        )
                     idx_k = idxK[kk : kk + 1]               # (1, blk) i32
                     off_k = offK[kk : kk + 1]
                     tgt_k = tgtK[kk : kk + 1]
@@ -555,10 +609,10 @@ def run_ticks_batched(
                         ck, sk = jnp.cos(phi_k), jnp.sin(phi_k)
 
                         # lateral offset from the path at the carried index
-                        oh_i = (iota_gp == idx_k).astype(jnp.float32)
-                        th_i = jnp.sum(gp_th * oh_i, axis=0, keepdims=True)
-                        px_i = jnp.sum(gp_x * oh_i, axis=0, keepdims=True)
-                        py_i = jnp.sum(gp_y * oh_i, axis=0, keepdims=True)
+                        oh_i = (iota_a == idx_k).astype(jnp.float32)
+                        th_i = jnp.sum(gpth_a * oh_i, axis=0, keepdims=True)
+                        px_i = jnp.sum(gpx_a * oh_i, axis=0, keepdims=True)
+                        py_i = jnp.sum(gpy_a * oh_i, axis=0, keepdims=True)
                         l_now = -(xk - px_i) * jnp.sin(th_i) + (
                             yk - py_i
                         ) * jnp.cos(th_i)
@@ -652,22 +706,22 @@ def run_ticks_batched(
 
                         # npc_step: forward-windowed first-min match
                         lo = jnp.clip(idx_k, 0, max(n_gp - 32, 0))
-                        in_win = (iota_gp >= lo) & (iota_gp < lo + 32)
-                        d2g = (gp_x - xk) ** 2 + (gp_y - yk) ** 2
+                        in_win = (iota_a >= lo) & (iota_a < lo + 32)
+                        d2g = (gpx_a - xk) ** 2 + (gpy_a - yk) ** 2
                         d2m = jnp.where(in_win, d2g, jnp.inf)
                         mng = jnp.min(d2m, axis=0, keepdims=True)
                         idx2 = jnp.min(
-                            jnp.where(d2m <= mng, iota_gp, n_gp),
+                            jnp.where(d2m <= mng, iota_a, n_gp),
                             axis=0, keepdims=True,
                         )
                         look = jnp.clip(
                             idx2 + 2 + (spd_k * 0.25).astype(jnp.int32),
                             0, n_gp - 1,
                         )
-                        oh_l = (iota_gp == look).astype(jnp.float32)
-                        th_l = jnp.sum(gp_th * oh_l, axis=0, keepdims=True)
-                        lx = jnp.sum(gp_x * oh_l, axis=0, keepdims=True)
-                        ly = jnp.sum(gp_y * oh_l, axis=0, keepdims=True)
+                        oh_l = (iota_a == look).astype(jnp.float32)
+                        th_l = jnp.sum(gpth_a * oh_l, axis=0, keepdims=True)
+                        lx = jnp.sum(gpx_a * oh_l, axis=0, keepdims=True)
+                        ly = jnp.sum(gpy_a * oh_l, axis=0, keepdims=True)
                         dxp = lx - off_k * jnp.sin(th_l) - xk
                         dyp = ly + off_k * jnp.cos(th_l) - yk
                         alpha = _atan2(dyp, dxp) - phi_k
@@ -702,19 +756,40 @@ def run_ticks_batched(
                         )
 
                     # a block whose lanes carry NO live agent in this slot
-                    # skips the slot's ~15 (n_gp, blk)-pass agent math
+                    # skips the slot's ~15 path-width-pass agent math
                     # entirely (the bench mix populates ONE of the dynamic
                     # slots; per-lane selects inside agent_row keep mixed
                     # blocks bit-identical)
-                    rows.append(jax.lax.cond(
-                        jnp.any(is_ag), agent_row, cv_row
-                    ))
-                ox = jnp.concatenate([r[0] for r in rows], axis=0)
-                oy = jnp.concatenate([r[1] for r in rows], axis=0)
-                ovx = jnp.concatenate([r[2] for r in rows], axis=0)
-                ovy = jnp.concatenate([r[3] for r in rows], axis=0)
-                idxK = jnp.concatenate([r[4] for r in rows], axis=0)
-                tgtK = jnp.concatenate([r[5] for r in rows], axis=0)
+                    return jax.lax.cond(jnp.any(is_ag), agent_row, cv_row)
+
+                if use_window:
+                    # per-tick containment gate: every live agent's carried
+                    # index, its 32-row match window, and its worst-case
+                    # lookahead row must sit inside [w08, w08 + W_ROWS).
+                    # When they do, the windowed view is bit-identical to
+                    # the full path (advance_npcs docstring); otherwise
+                    # fall back. Gate cost: a few (K, blk) compares + one
+                    # reduce per tick, ~1% of the passes it saves.
+                    ag_live = (ovalid > 0.5) & (agentK > 0.5)
+                    lo_g = jnp.clip(idxK, 0, max(n_gp - 32, 0))
+                    look_hi = lo_g + 33 + (spd_all * 0.25).astype(jnp.int32)
+                    ok_lane = (
+                        (idxK >= w08) & (idxK < w08 + W_ROWS)
+                        & (lo_g >= w08) & (look_hi < w08 + W_ROWS)
+                    )
+                    fast_ok = jnp.min(jnp.where(
+                        ag_live, ok_lane.astype(jnp.float32), 1.0
+                    )) > 0.5
+                    (ox, oy, ovx, ovy, idxK, tgtK) = jax.lax.cond(
+                        fast_ok,
+                        lambda: advance_npcs(gp_xw, gp_yw, gp_thw,
+                                             iota_win),
+                        lambda: advance_npcs(gp_x, gp_y, gp_th, iota_gp),
+                    )
+                else:
+                    (ox, oy, ovx, ovy, idxK, tgtK) = advance_npcs(
+                        gp_x, gp_y, gp_th, iota_gp
+                    )
             dob_x = ox - x_n
             dob_y = oy - y_n
             hit = (ovalid > 0.5) & (

@@ -355,3 +355,104 @@ def test_traffic_tick_kernel_matches_scan():
     np.testing.assert_array_equal(
         np.asarray(md["collided"]), np.asarray(met_r.collided)
     )
+
+
+def test_traffic_window_fast_path_bit_identical():
+    """The windowed agent fast path (96-row block-shared view of the
+    global path, taken when the per-tick containment gate holds) is
+    BIT-IDENTICAL to the full-path branch: same f32 ops on the same path
+    rows — the window only removes rows whose reduction contribution is
+    an exact zero (one-hot sums) or +inf (masked mins).
+
+    Drives the kernel twice on a 256-point path with clustered agent
+    indices (gate holds every tick) — once normally, once with the
+    ``_force_full_path`` hook pinning the full-path branch — and requires
+    exact equality on EVERY output. A second scenario with an agent
+    placed far down the path (outside any shared window) exercises the
+    fallback: it must still match the XLA scan base."""
+    base = EMConfig()
+    cfg = EMConfig(
+        loop=dataclasses.replace(base.loop, plan_every=25, n_plans=1),
+    )
+    B = tick_pallas.BLK
+    scs = scenario.batch_scenarios(
+        jax.random.PRNGKey(5), B, cfg, n_path=256, with_walker=True
+    )
+
+    from emplanner_carla_tpu.ops import frenet
+    from emplanner_carla_tpu.planner import em_planner
+
+    def plan(gp, ego, obstacles):
+        mi = frenet.nearest_index(ego.x, ego.y, gp)
+        res = em_planner.plan_full_cycle(gp, ego, obstacles, mi, cfg)
+        return res.path.target, res.trajectory, res.path.feasible
+
+    target, traj, feas = jax.jit(jax.vmap(plan))(
+        scs.global_path, scs.ego0, scs.obstacles
+    )
+    K = scs.obstacles.x.shape[1]
+    npc_idx0 = jax.vmap(
+        lambda gp, o: jax.vmap(
+            lambda k: jnp.argmin(
+                (gp.x - o.x[k]) ** 2 + (gp.y - o.y[k]) ** 2
+            ).astype(jnp.int32)
+        )(jnp.arange(K))
+    )(scs.global_path, scs.obstacles)
+    speed0 = jnp.hypot(scs.obstacles.vx, scs.obstacles.vy)
+    agent_slot = (jnp.arange(K) >= cfg.n_static_obs) & (speed0 > 2.5)
+    lane0 = jnp.zeros((B, K))
+    n_buf = cfg.control.pid_buffer
+    pid_buf = jnp.zeros((B, n_buf))
+    pid_cnt = jnp.zeros((B,), jnp.int32)
+    pid_last = jnp.zeros((B,))
+    arrived = jnp.zeros((B,), bool)
+    plan_ok = jnp.ones((B,), bool)
+    dest_x = scs.global_path.x[:, -1]
+    dest_y = scs.global_path.y[:, -1]
+
+    def run_kernel(idx0, force_full):
+        tick_pallas.run_ticks_batched._interpret = True
+        tick_pallas.run_ticks_batched._force_full_path = force_full
+        try:
+            return tick_pallas.run_ticks_batched(
+                scs.ego0, pid_buf, pid_cnt, pid_last, scs.obstacles,
+                jnp.nan_to_num(traj.speed), target, arrived, feas,
+                plan_ok, dest_x, dest_y, cfg,
+                traffic=(scs.global_path, idx0, lane0, lane0, agent_slot,
+                         "normal"),
+            )
+        finally:
+            tick_pallas.run_ticks_batched._interpret = False
+            tick_pallas.run_ticks_batched._force_full_path = False
+
+    fast = run_kernel(npc_idx0, False)
+    full = run_kernel(npc_idx0, True)
+    for a, b in zip(jax.tree.leaves(fast), jax.tree.leaves(full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fallback: one lane's agent index forced far from the cluster so the
+    # containment gate fails — kernel must still match the XLA base
+    idx_spread = npc_idx0.at[0, cfg.n_static_obs].set(200)
+    got = run_kernel(idx_spread, False)
+
+    from emplanner_carla_tpu.sim import traffic_light as tl_mod
+
+    lights_none = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        tl_mod.TrafficLights.none(),
+    )
+    ref = jax.vmap(
+        lambda *a: closed_loop._traffic_ticks_base(*a, cfg, "normal")
+    )(scs.ego0, pid_buf, pid_cnt, pid_last, scs.obstacles, idx_spread,
+      lane0, lane0, agent_slot, jnp.nan_to_num(traj.speed),
+      jnp.nan_to_num(traj.time), target, arrived, feas, plan_ok,
+      dest_x, dest_y, scs.global_path, lights_none, jnp.zeros((B,)))
+    (ego_r, _, _, _, obs_r, idx_r, _, _, _, met_r) = ref
+    (ego_g, _, _, _, obs_g, idx_g, _, _, _, md) = got
+    np.testing.assert_allclose(ego_g.x, ego_r.x, atol=1e-3)
+    np.testing.assert_allclose(obs_g.x, obs_r.x, atol=1e-3)
+    np.testing.assert_allclose(obs_g.y, obs_r.y, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(idx_g), np.asarray(idx_r))
+    np.testing.assert_array_equal(
+        np.asarray(md["collided"]), np.asarray(met_r.collided)
+    )
