@@ -451,17 +451,20 @@ def make_prefactored_qp(
 
     from emplanner_carla_tpu.ops import qp_pallas
 
-    # two lane-block variants, same math bit-for-bit (lanes are rows of
-    # every kernel dot, accumulation runs along the shared k axis): the
-    # 512-lane block keeps the MXU pipeline full across the serial
-    # iteration loop and quarters the grid steps at fleet batch sizes
+    # lane-block variants, same math bit-for-bit (lanes are rows of
+    # every kernel dot, accumulation runs along the shared k axis): wider
+    # blocks keep the MXU pipeline full across the serial iteration loop
+    # and cut the sequential grid steps at fleet batch sizes (128 -> 512
+    # measured +16% on the standalone warm solve in round 4; 512 -> 1024
+    # + the tick kernel's 1024 cap lifted measured headline 685.8k ->
+    # 720.1k cycles/s combined in round 5, bit-identical per lane)
     pallas_solve = {
         blk: qp_pallas.make_pallas_qp(
             Pt, At, D, E, c, phases, n_iters,
             sigma=sigma, alpha=alpha, block=blk, warm=warm,
             matmul=kernel_matmul,
         )
-        for blk in (512, 128)
+        for blk in (1024, 512, 128)
     }
 
     def _eligible(axis_size):
@@ -491,7 +494,8 @@ def make_prefactored_qp(
     def _rule(axis_size, in_batched, *args):
         args = _bcast_all(axis_size, in_batched, args)
         if _eligible(axis_size):
-            out = pallas_solve[512 if axis_size % 512 == 0 else 128](*args)
+            blk = next(b for b in (1024, 512, 128) if axis_size % b == 0)
+            out = pallas_solve[blk](*args)
         else:
             out = jax.vmap(solve)(*args)
         return out, jax.tree.map(lambda _: True, out)

@@ -119,10 +119,17 @@ def run_ticks_batched(
     # grid blocks execute sequentially on the TensorCore; pick the largest
     # lane block dividing B (the MPC branch runs a 40-iteration per-tick
     # ADMM whose serial latency scales with the block count — 32 blocks of
-    # 128 measured SLOWER than the XLA scan). 1024 lanes exceeds the 16 MB
-    # scoped-VMEM limit (by 444 KB, via the streaming metric buffers);
-    # 512 fits.
-    blk = next(c for c in (512, 256, 128) if B % c == 0)
+    # 128 measured SLOWER than the XLA scan). 1024-lane blocks halve the
+    # sequential grid steps (headline tick kernel 1.00 -> 0.91 ms/cycle,
+    # round 5) and fit the 16 MB scoped-VMEM limit for the LQR kernel;
+    # the MPC branch's per-tick gain-table contraction transient pushes
+    # 1024 to 17.98 MB (measured OOM), and the traffic branch's global-
+    # path block + per-slot agent state overflows the same way — both
+    # cap at 512.
+    blk_cap = (
+        512 if (cfg.control.kind == "MPC" or traffic is not None) else 1024
+    )
+    blk = next(c for c in (blk_cap, 512, 256, 128) if B % c == 0)
     K = obs.x.shape[1]
     n_path = target.x.shape[1]
     n_dense = traj_speed.shape[1]
